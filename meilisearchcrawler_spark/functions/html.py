@@ -1,0 +1,205 @@
+"""Deterministic HTML extraction kernels.
+
+Re-implements the reference's extraction *decision order* —
+``get_title`` (crawler.py:564-571, P6), ``extract_main_content``
+(crawler.py:520-561, P7), ``extract_images`` (crawler.py:604-628, P10),
+link discovery (crawler.py:1066-1072) and the ``<html lang>`` sniff
+(crawler.py:1040-1043, P11) — over the constrained HTML dialect emitted
+by ``fixtures/webgen.py``.
+
+The container has neither BeautifulSoup/lxml nor trafilatura, so this
+is a regex parser over a dialect we fully control: every element the
+fixtures emit is non-self-nesting (no ``<div>`` inside ``<div>``),
+attributes are double-quoted, and tags are lowercase. The oracle
+(``oracle/refcrawler.py``) calls these same kernels, so engine↔oracle
+extraction equality is by construction; the equivalence suite then
+tests the *scheduling* semantics (ordering, seen-set, politeness),
+which is the algorithmic content of the north rule.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from .text import sniff_lang
+from .urls import is_valid_url, normalize_url
+from urllib.parse import urljoin
+
+_TAG = re.compile(r"<[^>]+>")
+_OG_TITLE = re.compile(
+    r'<meta\s+property="og:title"\s+content="([^"]*)"', re.IGNORECASE)
+_TITLE = re.compile(r"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_H1 = re.compile(r"<h1[^>]*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
+_HTML_LANG = re.compile(r'<html[^>]*\blang="([^"]*)"', re.IGNORECASE)
+_A_HREF = re.compile(r'<a\s[^>]*href="([^"]*)"', re.IGNORECASE)
+_IMG = re.compile(r"<img\s([^>]*)/?>", re.IGNORECASE)
+_ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+# Reference decomposes these before text extraction (crawler.py:552-556).
+_STRIP_BLOCKS = re.compile(
+    r"<(nav|header|footer|aside|form|script|style|iframe)\b[^>]*>.*?</\1>",
+    re.IGNORECASE | re.DOTALL,
+)
+# Candidate selectors, in reference priority order (crawler.py:538-540);
+# restricted to the shapes the fixture dialect emits.
+_CANDIDATES: list[tuple[str, str]] = [
+    ("tag", "article"),
+    ("tag", "main"),
+    ("id", "content"),
+    ("class", "content"),
+]
+
+
+def get_text(fragment: str) -> str:
+    """BeautifulSoup ``get_text(separator=' ', strip=True)`` analog for
+    the fixture dialect: drop tags, collapse whitespace."""
+    text = _TAG.sub(" ", fragment)
+    return " ".join(text.split())
+
+
+def _extract_element(html: str, kind: str, name: str) -> str | None:
+    """First matching element's inner HTML, or None. Elements in the
+    fixture dialect never self-nest, so a lazy match to the first
+    closing tag is exact."""
+    if kind == "tag":
+        pat = re.compile(rf"<{name}\b[^>]*>(.*?)</{name}>", re.IGNORECASE | re.DOTALL)
+        m = pat.search(html)
+        return m.group(1) if m else None
+    attr = "id" if kind == "id" else "class"
+    pat = re.compile(
+        rf'<([a-z0-9]+)\b[^>]*\b{attr}="{name}"[^>]*>', re.IGNORECASE)
+    m = pat.search(html)
+    if not m:
+        return None
+    tag = m.group(1)
+    close = re.compile(rf"</{tag}>", re.IGNORECASE)
+    end = close.search(html, m.end())
+    if not end:
+        return None
+    return html[m.end():end.start()]
+
+
+def get_title(html: str) -> str:
+    """P6. Priority: og:title → <title> → first <h1> → 'Sans titre'
+    (crawler.py:564-571)."""
+    m = _OG_TITLE.search(html)
+    if m and m.group(1).strip():
+        return m.group(1).strip()
+    m = _TITLE.search(html)
+    if m and m.group(1).strip():
+        return m.group(1).strip()
+    m = _H1.search(html)
+    if m:
+        return get_text(m.group(1))
+    return "Sans titre"
+
+
+def extract_main_content(html: str, selector: str | None = None) -> str:
+    """P7 over the fixture dialect, reference decision order
+    (crawler.py:520-561): explicit site selector wins; else the best
+    (longest-text) candidate selector; else stripped-body fallback.
+    Boilerplate blocks are removed before text extraction."""
+    if selector:
+        kind = "id" if selector.startswith("#") else "class" if selector.startswith(".") else "tag"
+        inner = _extract_element(html, kind, selector.lstrip("#."))
+        if inner is not None:
+            return get_text(inner)
+    best, best_len = None, 0
+    for kind, name in _CANDIDATES:
+        inner = _extract_element(html, kind, name)
+        if inner is not None:
+            text_len = len(get_text(inner).replace(" ", ""))
+            if text_len > best_len:
+                best, best_len = inner, text_len
+    if best is not None and best_len >= 250:
+        target = best
+    else:
+        body = _extract_element(html, "tag", "body")
+        target = body if body is not None else html
+    target = _STRIP_BLOCKS.sub(" ", target)
+    return get_text(target)
+
+
+def get_lang_attr(html: str) -> str | None:
+    m = _HTML_LANG.search(html)
+    return m.group(1) if m else None
+
+
+class ImageRef(NamedTuple):
+    url: str
+    alt: str
+    description: str
+
+
+def extract_images(html: str, base_url: str, max_images: int = 5) -> list[dict]:
+    """P10 (crawler.py:604-628): ``src|data-src|data-lazy-src``, skip
+    declared w/h < 100, absolutize, validity gate, URL-dedup, cap;
+    ``alt or 'Image'`` doubles as description (the caption invariant)."""
+    images: list[dict] = []
+    seen: set[str] = set()
+    for m in _IMG.finditer(html):
+        if len(images) >= max_images:
+            break
+        attrs = dict(_ATTR.findall(m.group(1)))
+        src = attrs.get("src") or attrs.get("data-src") or attrs.get("data-lazy-src")
+        alt = (attrs.get("alt") or "").strip()
+        if not src:
+            continue
+        width, height = attrs.get("width"), attrs.get("height")
+        if width and height:
+            try:
+                if int(width) < 100 or int(height) < 100:
+                    continue
+            except (ValueError, TypeError):
+                pass
+        full_url = urljoin(base_url, src)
+        if not is_valid_url(full_url):
+            continue
+        if full_url not in seen:
+            images.append({"url": full_url, "alt": alt or "Image", "description": alt or "Image"})
+            seen.add(full_url)
+    return images
+
+
+def extract_links(html: str, final_url: str, seed_url: str) -> list[str]:
+    """Link discovery (crawler.py:1066-1072): every ``<a href>`` in
+    document order → ``normalize_url(urljoin(final_url, href))``,
+    admitted if valid (F6) and same-domain vs the site seed (F7).
+    Duplicates are kept — frontier-side dedup decides."""
+    from .urls import is_same_domain
+
+    links: list[str] = []
+    for m in _A_HREF.finditer(html):
+        href = m.group(1)
+        if not href:
+            continue
+        full = normalize_url(urljoin(final_url, href))
+        if is_valid_url(full) and is_same_domain(full, seed_url):
+            links.append(full)
+    return links
+
+
+class ParsedPage(NamedTuple):
+    title: str
+    content_raw: str
+    lang_attr: str | None
+    images: list[dict]
+    links: list[str]
+
+
+def parse_page(html: str, final_url: str, seed_url: str,
+               selector: str | None = None,
+               extract_link_targets: bool = True) -> ParsedPage:
+    """One-pass page parse used by both the fetch-round UDF and the
+    oracle."""
+    return ParsedPage(
+        title=get_title(html),
+        content_raw=extract_main_content(html, selector),
+        lang_attr=get_lang_attr(html),
+        images=extract_images(html, final_url),
+        links=extract_links(html, final_url, seed_url) if extract_link_targets else [],
+    )
+
+
+def sniff_lang_from_html(html: str, default: str = "fr") -> str:
+    return sniff_lang(get_lang_attr(html), default)

@@ -1,0 +1,57 @@
+"""SparkSession helpers + package shipping.
+
+``ship_package`` zips this library and registers it with
+``sc.addPyFile`` so executor Python workers can unpickle pandas UDFs
+regardless of their working directory — the in-process equivalent of
+``spark-submit --py-files mcspark.zip`` demanded by the north rule.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Zip ``meilisearchcrawler_spark`` and addPyFile it (idempotent per
+    session)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="mcspark_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def get_spark(master: str | None = None, shuffle_partitions: int = 32,
+              app_name: str = "meilisearchcrawler-spark") -> SparkSession:
+    """Engine-default session: AQE on, Arrow on, sane shuffle width."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,176 @@
+"""Unit tests for the scalar kernels (SURVEY.md §2.2/§2.3) — golden
+vectors derived by executing the reference's pure-function semantics
+(crawler.py:393-628) by hand."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from meilisearchcrawler_spark.functions import html as H
+from meilisearchcrawler_spark.functions import text as T
+from meilisearchcrawler_spark.functions import urls as U
+
+
+class TestUrlKernels:
+    def test_normalize_url(self):
+        # crawler.py:474-477
+        assert U.normalize_url("http://a.com/x#frag") == "http://a.com/x"
+        assert U.normalize_url("http://a.com/x/") == "http://a.com/x"
+        assert U.normalize_url("http://a.com/") == "http://a.com"
+        assert U.normalize_url("http://a.com/x/#f/") == "http://a.com/x"
+
+    def test_normalize_url_merge(self):
+        # merger.py:97-130: lowercase host, strip www., keep query
+        assert U.normalize_url_merge("HTTP://WWW.A.com/Path/?q=1#f") == "http://a.com/Path?q=1"
+        assert U.normalize_url_merge("https://a.com/x") == "https://a.com/x"
+
+    def test_doc_id(self):
+        url = "http://example.com/page"
+        assert U.generate_doc_id(url) == hashlib.md5(url.encode()).hexdigest()
+
+    def test_is_valid_url(self):
+        assert U.is_valid_url("http://a.com/x")
+        assert U.is_valid_url("https://a.com")
+        assert not U.is_valid_url("ftp://a.com")
+        assert not U.is_valid_url("mailto:x@a.com")
+        assert not U.is_valid_url("http://localhost/x")
+        assert not U.is_valid_url("http://127.0.0.1/x")
+
+    def test_is_excluded_substring(self):
+        assert U.is_excluded("http://a.com/login?next=/", ["/login"])
+        assert not U.is_excluded("http://a.com/blog", ["/login"])
+        assert not U.is_excluded("http://a.com/login", [])
+
+    def test_ignored_extensions(self):
+        assert U.has_ignored_extension("http://a.com/x.JPG")
+        assert U.has_ignored_extension("http://a.com/x.pdf")
+        assert not U.has_ignored_extension("http://a.com/x.html")
+
+    def test_column_forms_match_python(self, spark):
+        urls = [
+            "http://a.com/x#frag", "http://WWW.B.com/y/?q=1", "ftp://bad",
+            "http://localhost/z", "https://c.com/p.jpg", "http://a.com/login/x",
+        ]
+        df = spark.createDataFrame([Row(url=u) for u in urls])
+        got = df.select(
+            U.normalize_url_col(F.col("url")).alias("norm"),
+            U.is_valid_url_col(F.col("url")).alias("valid"),
+            U.has_ignored_extension_col(F.col("url")).alias("ext"),
+            U.is_excluded_col(F.col("url"), ["/login"]).alias("excl"),
+            U.doc_id_col(F.col("url")).alias("id"),
+        ).collect()
+        for u, row in zip(urls, got):
+            assert row["norm"] == U.normalize_url(u)
+            assert row["valid"] == U.is_valid_url(u)
+            assert row["ext"] == U.has_ignored_extension(u)
+            assert row["excl"] == U.is_excluded(u, ["/login"])
+            assert row["id"] == U.generate_doc_id(u)
+
+
+class TestTextKernels:
+    def test_clean_text_collapses_and_truncates(self):
+        assert T.clean_text("a\t b\n\nc") == "a b c"
+        assert T.clean_text("x" * 5000) == "x" * 3000
+        assert T.clean_text("") == ""
+        assert T.clean_text("a\x01b") == "ab"
+
+    def test_clean_text_boilerplate(self):
+        # crawler.py:502-517 patterns; text is single-line post-collapse
+        out = T.clean_text("Body text. Privacy policy stuff at end")
+        assert out == "Body text."
+
+    def test_excerpt_accumulates_sentences(self):
+        content = "Short. This sentence is long enough to count. Another long sentence follows here. " + "x" * 300
+        ex = T.create_excerpt(content, max_length=250)
+        assert ex.startswith("This sentence is long enough to count.")
+        assert ex.endswith("...")
+        assert len(ex) <= 254
+
+    def test_excerpt_fallback_prefix(self):
+        content = "tiny. bits. only. here."
+        ex = T.create_excerpt(content, max_length=250)
+        # no sentence ≥20 chars and total < max → prefix == content → no ellipsis
+        assert ex == content
+
+    def test_excerpt_empty(self):
+        assert T.create_excerpt("") == ""
+
+    def test_content_hash_composition(self):
+        images = [{"url": "http://a.com/i.png", "alt": "Image", "description": "Image"}]
+        expect = hashlib.md5(
+            f"t|e|c|{json.dumps(images, sort_keys=True)}".encode()).hexdigest()
+        assert T.get_content_hash("c", "t", images, "e") == expect
+
+    def test_sniff_lang(self):
+        assert T.sniff_lang("en-US") == "en"
+        assert T.sniff_lang("FR") == "fr"
+        assert T.sniff_lang(None) == "fr"
+        assert T.sniff_lang("", "en") == "en"
+
+
+PAGE = """<html lang="en-GB"><head>
+<meta property="og:title" content="OG Title">
+<title>Doc Title</title></head>
+<body>
+<nav><a href="/nav1">nav</a> navigation boilerplate</nav>
+<main><h1>Heading</h1><p>{body}</p>
+<img src="/img/big.png" alt="A big image" width="200" height="200">
+<img src="/img/small.png" alt="small" width="50" height="50">
+<img src="/img/big.png" alt="dup">
+<img data-src="/img/lazy.jpg" alt="">
+<a href="/child1">c1</a><a href="http://other.com/x">off</a>
+<a href="/child2#frag">c2</a><a href="mailto:x@y.z">mail</a>
+</main>
+<footer>footer junk</footer>
+</body></html>"""
+
+
+class TestHtmlKernels:
+    def test_title_priority(self):
+        html = PAGE.format(body="b " * 200)
+        assert H.get_title(html) == "OG Title"
+        no_og = html.replace('<meta property="og:title" content="OG Title">', "")
+        assert H.get_title(no_og) == "Doc Title"
+        no_title = no_og.replace("<title>Doc Title</title>", "")
+        assert H.get_title(no_title) == "Heading"
+        assert H.get_title("<html><body><p>x</p></body></html>") == "Sans titre"
+
+    def test_main_content_candidate(self):
+        html = PAGE.format(body="word " * 100)
+        content = H.extract_main_content(html)
+        assert "word word" in content
+        assert "navigation boilerplate" not in content
+        assert "footer junk" not in content
+
+    def test_selector_override(self):
+        html = '<html><body><div id="zone"><p>zone text</p></div><main>other</main></body></html>'
+        assert H.extract_main_content(html, "#zone") == "zone text"
+
+    def test_images(self):
+        html = PAGE.format(body="b")
+        imgs = H.extract_images(html, "http://site.com/page/")
+        urls = [i["url"] for i in imgs]
+        assert urls == [
+            "http://site.com/img/big.png",
+            "http://site.com/img/lazy.jpg",
+        ]
+        assert imgs[0]["alt"] == "A big image"
+        assert imgs[1]["alt"] == "Image"  # alt fallback crawler.py:626
+
+    def test_links_same_domain_normalized(self):
+        html = PAGE.format(body="b")
+        links = H.extract_links(html, "http://site.com/page", "http://site.com/")
+        assert links == [
+            "http://site.com/nav1",
+            "http://site.com/child1",
+            "http://site.com/child2",
+        ]
+
+    def test_lang(self):
+        assert H.sniff_lang_from_html(PAGE.format(body="b")) == "en"
+        assert H.sniff_lang_from_html("<html><body></body></html>") == "fr"
