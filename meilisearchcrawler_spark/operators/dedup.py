@@ -1,0 +1,233 @@
+"""Document deduplication operators.
+
+The reference dedups exactly twice — per-crawl duplicate ``content_hash``
+suppression (crawler.py:944,1034-1039, F10) and merge-side URL dedup
+(merger.py:57-82, J5). A 100 TB training-data pipeline needs the full
+ladder, so this module adds the standard near-dup family on top:
+
+* :func:`exact_dedup_groups` / :func:`exact_dedup` — hash-groupBy (F10 at scale)
+* :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash+LSH
+* :func:`ngram_jaccard_pairs` — exact Jaccard verification of LSH candidates
+* :func:`simhash` — bitwise majority fingerprint
+
+Scale notes (100 TB / 1000 executors):
+
+* every op here is a single hash-shuffle on a high-cardinality key
+  (``content_hash``, ``(shingle)``, ``(band, band_sig)``) — no skew
+  beyond genuinely duplicated content; a pathological all-equal corpus
+  is handled by the two-level aggregation Spark already does
+  (partial ``min``/``count`` map-side).
+* MinHash avoids a UDF entirely: shingles come from ``F.explode``,
+  hashes from ``F.md5``/``F.xxhash64`` (JVM), per-(doc, band) ``min``
+  is a partial aggregate. Signature width is a column count, not a
+  shuffle count.
+* LSH self-join joins on ``(band_id, band_sig)`` — Catalyst hash-joins
+  it; bucket sizes are the classic LSH tradeoff and the
+  ``max_bucket_size`` guard drops degenerate buckets (boilerplate
+  pages) instead of letting one reducer own n² pair expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Exact dedup (F10 generalized)
+# ---------------------------------------------------------------------------
+
+
+def content_key(text: Column) -> Column:
+    """Canonical content hash: md5 over whitespace-collapsed, lowercased
+    text. (The crawl engine itself uses the reference's composite hash
+    P4, crawler.py:393-396; this is the generic corpus form.)"""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: one row per content hash with >1 member.
+    One shuffle (groupBy hash); partial counts map-side."""
+    return (
+        df.select(content_key(F.col(text_col)).alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each content group —
+    the distributed form of the reference's first-wins
+    ``processed_hashes`` set (crawler.py:1034-1039)."""
+    w = Window.partitionBy(content_key(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct, order-free) built entirely
+    JVM-side: split → slide → concat."""
+    words = F.split(F.lower(F.regexp_replace(text, r"\s+", " ")), " ")
+    num = F.size(words) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), num - F.lit(1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + F.lit(off + 1)) for off in range(n)])  # noqa: E731
+    grams = F.array_distinct(F.transform(idx, gram))
+    # sequence(0, -1) would *descend*; short docs get an empty set
+    return F.when(num <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document, ``num_hashes`` salted md5 mins.
+
+    md5 (not xxhash64) so a DuckDB oracle can reproduce values exactly;
+    the scale path swaps in ``F.xxhash64(shingle, salt)`` (cheaper, no
+    hex strings) without changing the plan shape. One explode + one
+    groupBy(id) shuffle; all ``min_h*`` are partial aggregates."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"min_h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        bands: int = 4, shingle_n: int = 3,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over the MinHash
+    signature: band signature = md5(concat of the band's mins); docs
+    sharing any band signature become a candidate pair (a < b).
+
+    Plan: signatures (1 shuffle) → band explode → self-join on
+    (band, band_sig) (1 hash-join shuffle) → distinct pairs. Buckets
+    above ``max_bucket_size`` are dropped before the join — boilerplate
+    explosion guard for web corpora."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"min_h{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_sig")
+
+    bucket_sizes = banded.groupBy("band_id", "band_sig").agg(F.count("*").alias("_bs"))
+    banded = (
+        banded.join(F.broadcast(bucket_sizes.filter(F.col("_bs") > max_bucket_size)),
+                    ["band_id", "band_sig"], "left_anti")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (LSH verification
+    stage). Joins each side's shingle array then computes
+    |∩| / |∪| with ``array_intersect``/``array_union`` — fine while per-doc
+    shingle sets fit a row (web pages: ≤3k chars ⇒ ≤600 shingles)."""
+    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    out = (
+        pairs
+        .join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / F.when(union == 0, F.lit(1)).otherwise(union), 6)
+        .alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """Bit-majority SimHash over word hashes.
+
+    Each word hashes to ``bits`` bits (md5-derived so the oracle can
+    match); bit *i* of the fingerprint is 1 iff more words set it than
+    clear it. Pure column algebra: explode words → per-(doc) sums of
+    ±1 per bit → bit assembly. One shuffle."""
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    ex = df.select(F.col(id_col), F.explode(words).alias("w"))
+    # 60-bit int from the md5 hex prefix; DuckDB: ('0x'||substr(md5(w),1,15))::BIGINT
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 16,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using the
+    standard block-permutation trick: split the fingerprint into
+    ``max_hamming + 1`` blocks — any pair within distance k agrees on
+    at least one block, so join on (block_id, block_value) then filter
+    by exact ``bit_count(xor)``. Avoids the n² cross join."""
+    fps = simhash(df, text_col, id_col, bits)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    blocks = [
+        F.struct(F.lit(bi).alias("block_id"),
+                 F.shiftrightunsigned(F.col("simhash"), bi * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"))
+        for bi in range(nblocks)
+    ]
+    blocked = fps.select(id_col, "simhash", F.explode(F.array(*blocks)).alias("b")) \
+                 .select(id_col, "simhash", "b.block_id", "b.block_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
+               & (F.col("a.block_val") == F.col("b.block_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+    )

@@ -1,0 +1,105 @@
+"""Embedding similarity — rerank + ANN over ``array<float>`` columns.
+
+The reference's reranker computes cosine(query, doc) over Meilisearch
+hits with a numpy matmul (reranker.py:44-88, T3) and penalizes missing
+vectors ×0.1 (reranker.py:70-76). Here:
+
+* :func:`cosine_scores` / :func:`cosine_topk` — brute-force baseline,
+  pure column algebra (``zip_with`` + ``aggregate``) so the scan stays
+  JVM-side; ``TakeOrderedAndProject`` handles the top-k (no full sort).
+* :func:`hyperplane_buckets` / :func:`ann_topk_lsh` — the scale path:
+  random-hyperplane LSH buckets (sign bits of dot products with
+  deterministic seeded hyperplanes). At 100 TB the bucket-join probes
+  only matching buckets instead of scanning every vector; the
+  hyperplanes are a literal array (broadcast-free plan constant).
+
+Missing-vector penalty semantics follow reranker.py:70-76.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_scores(df: DataFrame, query_vec: list[float],
+                  vec_col: str = "embedding", penalty: float = 0.1) -> DataFrame:
+    """Cosine vs a literal query vector; rows with a null vector get
+    score 0 then ×penalty — reranker.py:70-76 semantics."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v)) * F.lit(qn))
+    score = F.when(F.col(vec_col).isNull(), F.lit(0.0) * F.lit(penalty)).otherwise(cos)
+    return df.withColumn("score", F.round(score, 6))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force top-k: orderBy(score desc, id asc).limit(k) compiles
+    to TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def make_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded Gaussian hyperplanes (plan constants)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).round(6).tolist()
+
+
+def hyperplane_buckets(df: DataFrame, planes: list[list[float]],
+                       vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit LSH bucket id per row: bit i = (v · plane_i) >= 0."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
+                 nbits: int = 8, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe
+    keeps recall up on boundary vectors). The bucket filter is a plan
+    literal set — it prunes *before* the expensive dot products."""
+    dim = len(query_vec)
+    planes = make_hyperplanes(dim, nbits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, np.asarray(plane))) >= 0:
+            qbucket |= 1 << i
+    probe = [
+        b for b in range(1 << nbits)
+        if bin(b ^ qbucket).count("1") <= multiprobe_hamming
+    ]
+    bucketed = hyperplane_buckets(df, planes, vec_col)
+    pruned = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        cosine_scores(pruned, query_vec, vec_col)
+        .select(id_col, "bucket", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
