@@ -1,0 +1,114 @@
+"""Checkpointed table catalog — Iceberg-snapshot-shaped commits over
+parquet.
+
+This sandbox has no Iceberg runtime jars, so the engine checkpoints
+through this catalog instead: every crawl round stages its table deltas
+as parquet directories, then commits them *atomically* by replacing a
+single ``manifest.json`` (write-temp + ``os.replace``). A killed job
+leaves only orphan directories that the next manifest read ignores —
+exactly the snapshot-commit semantics the production engine gets from
+one Iceberg transaction per round (``MERGE INTO url_seen`` +
+``writeTo(...).append()``; reference equivalents: SQLite cache upsert
+cache_db.py:67-81 and resume-state save crawler.py:1221-1224).
+
+Table reads union all committed deltas; ``compact()`` folds a table's
+deltas into one snapshot directory (Iceberg's rewrite_data_files).
+Scalar state (counters, round number) rides in the manifest itself, so
+state and data commit in the same atomic step — the property that makes
+kill-resume bit-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        self.manifest = self._load()
+
+    # -- manifest ---------------------------------------------------------
+
+    def _load(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}, "state": {}, "committed_round": -1}
+
+    def _commit_manifest(self) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # -- staged writes ----------------------------------------------------
+
+    def stage(self, table: str, df: DataFrame, round_no: int) -> str:
+        """Write a delta directory for ``table``; not visible until
+        :meth:`commit_round` lands."""
+        rel = os.path.join(table, f"r{round_no:06d}_{uuid.uuid4().hex[:8]}")
+        path = os.path.join(self.root, rel)
+        df.write.mode("overwrite").parquet(path)
+        return rel
+
+    def commit_round(self, round_no: int, staged: dict[str, list[str]],
+                     state: dict) -> None:
+        """Atomically publish all staged deltas + scalar state for one
+        round. This is the round barrier (SURVEY.md §3.1 lifecycle)."""
+        for table, rels in staged.items():
+            self.manifest["tables"].setdefault(table, []).extend(rels)
+        self.manifest["state"] = state
+        self.manifest["committed_round"] = round_no
+        self._commit_manifest()
+
+    # -- reads ------------------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        return bool(self.manifest["tables"].get(table))
+
+    def read(self, table: str) -> DataFrame | None:
+        rels = self.manifest["tables"].get(table)
+        if not rels:
+            return None
+        paths = [os.path.join(self.root, r) for r in rels]
+        return self.spark.read.parquet(*paths)
+
+    @property
+    def state(self) -> dict:
+        return self.manifest["state"]
+
+    @property
+    def committed_round(self) -> int:
+        return self.manifest["committed_round"]
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, table: str, df: DataFrame | None = None) -> None:
+        """Fold all deltas of ``table`` into one snapshot dir (bounds the
+        union fan-in for hot tables like the frontier). If ``df`` is
+        given it becomes the new content (post-anti-join compaction)."""
+        if df is None:
+            df = self.read(table)
+        if df is None:
+            return
+        rel = os.path.join(table, f"compact_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        old = self.manifest["tables"].get(table, [])
+        self.manifest["tables"][table] = [rel]
+        self._commit_manifest()
+        for r in old:
+            shutil.rmtree(os.path.join(self.root, r), ignore_errors=True)
+
+    def blob_dir(self, name: str) -> str:
+        path = os.path.join(self.root, "blobs", name)
+        os.makedirs(path, exist_ok=True)
+        return path

@@ -1,0 +1,791 @@
+"""The Spark crawl engine: driver-orchestrated micro-batch rounds.
+
+One round is the distributed form of one reference batch iteration
+(crawler.py:1137-1208):
+
+    live frontier                                  (adds ⟂ pops anti-join)
+      → per-site candidate prefix                  (top-K by (depth↓, counter↑))
+      → admission flags                            (F1-F7: visited Bloom+anti-join,
+                                                    exclusion, extension, robots)
+      → pop cutoff                                 (running-admissible window ≤ B)
+      → per-host politeness budget + salted host-hash repartition
+      → fetch+parse mapInPandas                    (Arrow batches; errors as data)
+      → indexing decision                          (no-index / cache-skip /
+                                                    dup-hash window / min-length)
+      → link explode + dedup + counter assignment  (insertion-order equivalence)
+      → atomic catalog commit                      (frontier Δ, url_seen Δ,
+                                                    documents Δ, visited Δ,
+                                                    metrics, Bloom blobs, state)
+
+Ordering equivalence with the reference heap (SURVEY.md §7 hard part 1):
+the heap pop order is ``(-depth, counter)`` with insertion-order
+counters (crawler.py:1099-1121); the engine reproduces counters by
+ranking each round's surviving links by (parent pos_in_round, link
+position in document) — both deterministic — and offsetting by the
+site's running counter. The pop cutoff reproduces pop-time admission:
+a popped-but-inadmissible entry leaves the frontier without consuming
+batch budget, so the cutoff is "rows up to the B-th admissible":
+``admissible ? running_adm ≤ B : running_adm < B``.
+
+Scale notes (10^10 frontier, 1000 executors):
+
+* the admission windows run on a bounded per-site candidate *prefix*
+  (top-K), not the whole frontier; K escalates in the rare case the
+  prefix is exhausted by inadmissible rows. The full frontier is only
+  touched by the adds⟂pops anti-join (hash-partitioned on counter) and
+  periodic compaction.
+* the visited-set anti-join is Bloom-prefiltered: definite-negatives
+  (the overwhelming majority of discovered links) skip the shuffle.
+* hot hosts are spread by salted host-hash repartition before the
+  fetch UDF (`xxhash64(host, counter % salt)`), so one host's
+  politeness budget never serializes a whole partition.
+* every table write is an append-only delta; the manifest commit is
+  the round barrier; kill-resume replays nothing (bit-identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..config import MIN_CONTENT_LEN, CrawlConfig
+from ..fixtures.webgen import T0
+from ..functions import html as H
+from ..functions import text as T
+from ..functions.urls import (
+    admission_exclusions,
+    generate_doc_id,
+    has_ignored_extension_col,
+    is_excluded,
+    is_excluded_col,
+    normalize_url,
+    url_hash_col,
+)
+from .bloom import PartitionedBloom
+from .catalog import CheckpointCatalog
+from .pagestore import load_store
+
+FETCH_SCHEMA = StructType([
+    StructField("site", StringType()),
+    StructField("url", StringType()),
+    StructField("host", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("counter", LongType()),
+    StructField("pos_in_round", IntegerType()),
+    StructField("final_url", StringType()),
+    StructField("fetch_status", IntegerType()),  # 200 | 304 | 0 nonhtml | -1 error
+    StructField("etag", StringType()),
+    StructField("last_modified", StringType()),
+    StructField("title", StringType()),
+    StructField("content", StringType()),
+    StructField("excerpt", StringType()),
+    StructField("images_json", StringType()),
+    StructField("lang", StringType()),
+    StructField("content_hash", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("no_index", IntegerType()),
+    StructField("links", ArrayType(StringType())),
+])
+
+IMAGES_SCHEMA = "array<struct<url:string,alt:string,description:string>>"
+
+
+def _make_fetch_udf(store_path: str, site_configs: dict[str, dict]):
+    """Fetch + parse kernel (crawler.py:971-1077 per-page semantics) as
+    an Arrow-batched ``mapInPandas`` body. Per-URL failures become
+    ``fetch_status=-1`` rows, never task failures."""
+
+    def fetch_parse(batches):
+        store = load_store(store_path)
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                cfg = site_configs[row.site]
+                rec = {
+                    "site": row.site, "url": row.url, "host": row.host,
+                    "depth": int(row.depth), "counter": int(row.counter),
+                    "pos_in_round": int(row.pos_in_round),
+                    "final_url": row.url, "fetch_status": -1,
+                    "etag": None, "last_modified": None, "title": None,
+                    "content": None, "excerpt": None, "images_json": None,
+                    "lang": None, "content_hash": None, "doc_id": None,
+                    "no_index": 0, "links": None,
+                }
+                page = store.get(row.url)
+                if page is None or page["status"] in (404, 500):
+                    out.append(rec)  # error after retries (crawler.py:995-1001)
+                    continue
+                cached_etag = row.cached_etag if isinstance(row.cached_etag, str) else None
+                if cached_etag and page.get("etag") and cached_etag == page["etag"]:
+                    rec.update(fetch_status=304,
+                               doc_id=generate_doc_id(row.url))
+                    out.append(rec)
+                    continue
+                if "text/html" not in page["content_type"].lower():
+                    rec.update(fetch_status=0)
+                    out.append(rec)
+                    continue
+                final_url = normalize_url(page["redirect_to"] or row.url)
+                parsed = H.parse_page(page["html"], final_url, cfg["seed_url"],
+                                      cfg.get("selector"))
+                content = T.clean_text(parsed.content_raw)
+                excerpt = T.create_excerpt(content)
+                content_hash = T.get_content_hash(content, parsed.title,
+                                                  parsed.images, excerpt)
+                links = parsed.links if row.depth < cfg["max_depth"] else []
+                rec.update(
+                    final_url=final_url, fetch_status=200,
+                    etag=page.get("etag"), last_modified=page.get("last_modified"),
+                    title=parsed.title, content=content, excerpt=excerpt,
+                    images_json=json.dumps(parsed.images, sort_keys=True),
+                    lang=T.sniff_lang(parsed.lang_attr, cfg.get("lang", "fr")),
+                    content_hash=content_hash,
+                    doc_id=generate_doc_id(final_url),
+                    no_index=int(is_excluded(final_url, cfg["no_index"])),
+                    links=links,
+                )
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
+
+    return fetch_parse
+
+
+@dataclass
+class SiteState:
+    url_counter: int = 0
+    pages_visited: int = 0
+    active: bool = True
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, catalog_root: str,
+                 pages_path: str, seeds: list[dict], robots: list[dict],
+                 config: CrawlConfig | None = None,
+                 initial_url_seen: list[dict] | None = None):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.catalog = CheckpointCatalog(spark, catalog_root)
+        self.pages_path = pages_path
+        self.seeds = {s["site"]: s for s in seeds}
+        self.robots = {r["host"]: r for r in robots}
+        self.site_configs = {
+            name: {
+                "seed_url": s["seed_url"],
+                "selector": s.get("selector"),
+                "lang": s.get("lang", "fr"),
+                "max_depth": s.get("max_depth", self.cfg.max_depth),
+                "no_index": list(s.get("no_index", [])) + list(self.cfg.no_index_patterns),
+                "exclude": admission_exclusions(
+                    list(s.get("exclude", [])) + list(self.cfg.exclude_patterns)),
+                "max_pages": s.get("max_pages", self.cfg.max_pages),
+            }
+            for name, s in self.seeds.items()
+        }
+        self._fetch_udf = _make_fetch_udf(pages_path, self.site_configs)
+        self._bloom = PartitionedBloom(self.cfg.bloom_num_partitions,
+                                       bits_per_partition=1 << 17)
+        self._initial_url_seen = initial_url_seen or []
+        self._restore_or_init()
+
+    # ------------------------------------------------------------------ init
+
+    def _restore_or_init(self) -> None:
+        state = self.catalog.state
+        if state.get("sites"):
+            self.round_no = int(state["round"])
+            self.sites = {k: SiteState(**v) for k, v in state["sites"].items()}
+            blob_dir = self.catalog.blob_dir("bloom")
+            self._bloom = PartitionedBloom.load(
+                blob_dir, self.cfg.bloom_num_partitions, 1 << 17)
+            return
+        self.round_no = 0
+        self.sites = {name: SiteState(url_counter=1) for name in self.seeds}
+        from ..functions.urls import normalize_url
+
+        rows = [
+            {"site": name, "url": normalize_url(s["seed_url"]),
+             "host": _host_of(s["seed_url"]), "depth": 0, "counter": 0}
+            for name, s in self.seeds.items()
+        ]
+        frontier0 = self.spark.createDataFrame(rows, schema=(
+            "site string, url string, host string, depth int, counter long"))
+        staged = {"frontier_adds": [self.catalog.stage("frontier_adds", frontier0, 0)]}
+        if self._initial_url_seen:
+            seen0 = self.spark.createDataFrame(
+                [{**e, "round": -1} for e in self._initial_url_seen],
+                schema=("url string, content_hash string, doc_id string, "
+                        "last_crawl double, etag string, last_modified string, "
+                        "site string, round int"))
+            staged["url_seen_log"] = [self.catalog.stage("url_seen_log", seen0, 0)]
+        self.catalog.commit_round(-1, staged, self._state_dict())
+
+    def _state_dict(self) -> dict:
+        return {
+            "round": self.round_no,
+            "sites": {k: {"url_counter": v.url_counter,
+                          "pages_visited": v.pages_visited,
+                          "active": v.active} for k, v in self.sites.items()},
+        }
+
+    # ------------------------------------------------------------------ views
+
+    def _live_frontier(self) -> DataFrame | None:
+        adds = self.catalog.read("frontier_adds")
+        if adds is None:
+            return None
+        pops = self.catalog.read("frontier_pops")
+        if pops is not None:
+            adds = adds.join(pops, ["site", "counter"], "left_anti")
+        return adds
+
+    def _url_seen_latest(self) -> DataFrame | None:
+        log = self.catalog.read("url_seen_log")
+        if log is None:
+            return None
+        w = Window.partitionBy("url").orderBy(F.desc("round"))
+        return (log.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def documents(self) -> DataFrame | None:
+        """Indexed documents with 304-refresh merge (last_crawled_at =
+        latest refresh; reference sends partial upserts to Meilisearch,
+        crawler.py:1011-1016)."""
+        docs = self.catalog.read("documents")
+        if docs is None:
+            return None
+        ref = self.catalog.read("refreshes")
+        if ref is None:
+            return docs
+        latest = ref.groupBy("id").agg(F.max("last_crawled_at").alias("_refresh_at"))
+        return (docs.join(latest, "id", "left")
+                .withColumn("last_crawled_at",
+                            F.greatest("last_crawled_at", "_refresh_at"))
+                .drop("_refresh_at"))
+
+    def url_seen(self) -> DataFrame | None:
+        return self._url_seen_latest()
+
+    # ------------------------------------------------------------------ round
+
+    def run(self, max_rounds: int | None = None) -> int:
+        """Run rounds until every site is done (or the cap); returns the
+        number of rounds executed."""
+        cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        executed = 0
+        while any(s.active for s in self.sites.values()):
+            if cap is not None and executed >= cap:
+                break
+            progressed = self.run_round()
+            executed += 1
+            if not progressed:
+                break
+        return executed
+
+    def run_round(self) -> bool:
+        """One admission+fetch round across all active sites. Returns
+        False when no site had frontier left (crawl complete)."""
+        now = T0 + self.round_no * self.cfg.round_seconds
+        frontier = self._live_frontier()
+        if frontier is None:
+            for s in self.sites.values():
+                s.active = False
+            return False
+        # per-site budgets (max_pages semantics, crawler.py:1155-1160)
+        budgets = {}
+        for name, st in self.sites.items():
+            if not st.active:
+                continue
+            mp = self.site_configs[name]["max_pages"]
+            b = self.cfg.round_budget
+            if mp and mp > 0:
+                b = min(b, mp - st.pages_visited)
+            budgets[name] = max(b, 0)
+        active_sites = [n for n, b in budgets.items() if b > 0]
+        for name, st in self.sites.items():
+            if st.active and name not in active_sites:
+                st.active = False
+        if not active_sites:
+            return False
+        frontier = frontier.filter(F.col("site").isin(active_sites))
+
+        popped = self._select_pops(frontier, budgets)
+        if popped is None:
+            for name in active_sites:
+                self.sites[name].active = False
+            return False
+        popped.persist()
+        try:
+            return self._execute_round(popped, now)
+        finally:
+            popped.unpersist()
+
+    # ---------------------------------------------------------- admission
+
+    def _admission_flags(self, cand: DataFrame) -> DataFrame:
+        """F1-F7 pop-time admission chain (crawler.py:1157-1178), as
+        columns. Order of precedence matches the reference's
+        if/continue chain: visited-dup → excluded → extension → robots."""
+        # excluded: per-site pattern alternation (broadcast-size config)
+        excl = F.lit(False)
+        for name, cfg in self.site_configs.items():
+            excl = F.when(F.col("site") == name,
+                          is_excluded_col(F.col("url"), cfg["exclude"])).otherwise(excl)
+        cand = cand.withColumn("f_excluded", excl)
+        cand = cand.withColumn("f_ext", has_ignored_extension_col(F.col("url")))
+        # robots: fixture prefix rules; failed robots fetch ⇒ allow_all
+        denied = F.lit(False)
+        for host, rob in self.robots.items():
+            if rob.get("fetch_fails"):
+                continue
+            prefixes = rob.get("disallow") or []
+            if not prefixes:
+                continue
+            import re as _re
+
+            alternation = "|".join(_re.escape(p) for p in prefixes)
+            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+            denied = F.when(F.col("host") == host,
+                            path.rlike(rf"^(?:{alternation})")).otherwise(denied)
+        cand = cand.withColumn("f_robots_denied", denied)
+        # visited dup (F1): Bloom prefilter → exact anti-join
+        visited = self.catalog.read("visited")
+        cand = cand.withColumn("url_hash", url_hash_col(F.col("url")))
+        if visited is not None:
+            maybe = self._bloom_filter_hits(cand)
+            hit = (maybe.join(visited.select("site", "url").distinct(),
+                              ["site", "url"], "left_semi")
+                   .select("site", "counter").withColumn("f_visited", F.lit(True)))
+            cand = cand.join(hit, ["site", "counter"], "left") \
+                       .withColumn("f_visited", F.coalesce("f_visited", F.lit(False)))
+        else:
+            cand = cand.withColumn("f_visited", F.lit(False))
+        return cand.withColumn(
+            "admissible",
+            ~F.col("f_visited") & ~F.col("f_excluded") & ~F.col("f_ext")
+            & ~F.col("f_robots_denied"))
+
+    def _bloom_filter_hits(self, cand: DataFrame) -> DataFrame:
+        """Rows whose url_hash might be in the visited Bloom — only
+        these pay the exact anti-join shuffle."""
+        parts = self.spark.sparkContext.broadcast(
+            [p for p in self._bloom.parts])
+        num_partitions = self._bloom.num_partitions
+        bits = self._bloom.bits
+        k = self._bloom.k
+
+        def probe(batches):
+            bloom = PartitionedBloom(num_partitions, bits, k)
+            bloom.parts = parts.value
+            for pdf in batches:
+                if len(pdf):
+                    mask = bloom.might_contain(pdf["url_hash"].to_numpy())
+                    pdf = pdf[mask]
+                yield pdf
+
+        schema = cand.select("site", "counter", "url", "url_hash").schema
+        return cand.select("site", "counter", "url", "url_hash") \
+                   .mapInPandas(probe, schema=schema)
+
+    def _select_pops(self, frontier: DataFrame,
+                     budgets: dict[str, int]) -> DataFrame | None:
+        """Pop cutoff with candidate-prefix escalation. Returns the
+        popped rows with admission flags + pos_in_round, or None when
+        the frontier is empty for every active site."""
+        order = [F.desc("depth"), F.asc("counter")]
+        prefix_k = max(budgets.values()) * 8 + 64
+        while True:
+            w = Window.partitionBy("site").orderBy(*order)
+            prefix = (frontier.withColumn("_rank", F.row_number().over(w))
+                      .filter(F.col("_rank") <= prefix_k))
+            cand = self._admission_flags(prefix)
+            if self.cfg.host_budget is not None:
+                # politeness: over-budget rows stay in the frontier
+                wh = Window.partitionBy("site", "host").orderBy(*order)
+                cand = (cand.withColumn("_hrank",
+                                        F.sum(F.col("admissible").cast("int")).over(wh))
+                        .filter(~F.col("admissible")
+                                | (F.col("_hrank") <= self.cfg.host_budget)))
+            budget = F.lit(0)
+            for name, b in budgets.items():
+                budget = F.when(F.col("site") == name, F.lit(b)).otherwise(budget)
+            wsum = Window.partitionBy("site").orderBy(*order)
+            cand = cand.withColumn(
+                "_adm_run", F.sum(F.col("admissible").cast("int")).over(wsum))
+            popped = cand.filter(
+                F.when(F.col("admissible"), F.col("_adm_run") <= budget)
+                .otherwise(F.col("_adm_run") < budget))
+            stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
+                     prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
+                     .join(popped.groupBy("site")
+                           .agg(F.sum(F.col("admissible").cast("int")).alias("n_adm")),
+                           "site", "left").collect()}
+            under = [s for s, (n_adm, n_rank) in stats.items()
+                     if (n_adm or 0) < budgets[s] and n_rank == prefix_k]
+            if not under:
+                if not stats:
+                    return None
+                return popped.withColumn(
+                    "pos_in_round",
+                    F.when(F.col("admissible"),
+                           F.row_number().over(
+                               Window.partitionBy("site", "admissible")
+                               .orderBy(*order)) - 1).otherwise(F.lit(-1)))
+            prefix_k *= 8
+
+    # ---------------------------------------------------------- execution
+
+    def _execute_round(self, popped: DataFrame, now: float) -> bool:
+        cfg = self.cfg
+        staged: dict[str, list[str]] = {}
+        rno = self.round_no
+
+        def stage(table: str, df: DataFrame):
+            staged.setdefault(table, []).append(self.catalog.stage(table, df, rno))
+
+        # crawl_log: the ordering-equivalence artifact (FIXTURES.md §7)
+        log_action = (
+            F.when(F.col("admissible"), "admitted")
+            .when(F.col("f_visited"), "visited_dup")
+            .when(F.col("f_excluded"), "excluded")
+            .when(F.col("f_ext"), "ext_skipped")
+            .otherwise("robots_denied"))
+        stage("crawl_log", popped.select(
+            "site", "url", "depth", "counter", "pos_in_round",
+            log_action.alias("action"), F.lit(rno).alias("round")))
+
+        admitted = popped.filter(F.col("admissible"))
+        url_seen = self._url_seen_latest()
+
+        # conditional-GET headers from the cache, keyed by requested URL
+        # (crawler.py:974-979)
+        if url_seen is not None:
+            admitted = admitted.join(
+                url_seen.select(F.col("url"),
+                                F.col("etag").alias("cached_etag")),
+                "url", "left")
+        else:
+            admitted = admitted.withColumn("cached_etag", F.lit(None).cast("string"))
+
+        # salted host-hash repartition → fetch UDF (hot-host skew guard)
+        salt = (F.col("counter") % F.lit(max(cfg.host_partition_rows, 1))).cast("long")
+        fetched = (
+            admitted.select("site", "url", "host", "depth", "counter",
+                            "pos_in_round", "cached_etag")
+            .repartition(cfg.shuffle_partitions, F.xxhash64(F.col("host"), salt))
+            .mapInPandas(self._fetch_udf, schema=FETCH_SCHEMA)
+        )
+        fetched.persist()
+        try:
+            # ---- indexing decision (crawler.py:1033-1058) ----
+            ok = fetched.filter(F.col("fetch_status") == 200)
+            if url_seen is not None:
+                ok = ok.join(
+                    url_seen.select(F.col("url").alias("final_url"),
+                                    F.col("content_hash").alias("seen_hash"),
+                                    F.col("last_crawl").alias("seen_last_crawl")),
+                    "final_url", "left")
+            else:
+                ok = ok.withColumn("seen_hash", F.lit(None).cast("string")) \
+                       .withColumn("seen_last_crawl", F.lit(None).cast("double"))
+            cache_skip = (
+                F.lit(not cfg.force_recrawl)
+                & F.col("seen_hash").isNotNull()
+                & (F.col("seen_hash") == F.col("content_hash"))
+                & ((F.lit(now) - F.col("seen_last_crawl")) < cfg.cache_days * 86400))
+            ok = ok.withColumn("f_cache_skip", cache_skip)
+
+            hashes_seen = self.catalog.read("content_hashes")
+            candidates = ok.filter(
+                (F.col("no_index") == 0) & ~F.col("f_cache_skip")
+                & (F.length("content") >= MIN_CONTENT_LEN))
+            if hashes_seen is not None:
+                candidates = candidates.join(
+                    hashes_seen.select("site", "content_hash").distinct(),
+                    ["site", "content_hash"], "left_anti")
+            wdup = Window.partitionBy("site", "content_hash").orderBy("pos_in_round")
+            indexed = (candidates
+                       .withColumn("_dup_rn", F.row_number().over(wdup))
+                       .filter(F.col("_dup_rn") == 1).drop("_dup_rn"))
+            indexed.persist()
+
+            # ---- intra-round cache effects ----------------------------
+            # The reference updates the cache sequentially *within* a
+            # batch (update_cache at crawler.py:1059 runs before later
+            # batch members are classified), so a page whose final URL
+            # was indexed earlier in this same round is (a) served a 304
+            # if its request carried the just-stored ETag, else (b)
+            # cache-skipped. Indexing outcome is already identical (the
+            # dup-hash window suppresses it); this reproduces the stats,
+            # the refresh row, and — for the 304 case — the *absence of
+            # link extraction* (crawler.py:1011-1016).
+            wfi = Window.partitionBy("site", "final_url").orderBy("pos_in_round")
+            first_indexed = (indexed
+                             .withColumn("_fi_rn", F.row_number().over(wfi))
+                             .filter(F.col("_fi_rn") == 1)
+                             .select("site", "final_url",
+                                     F.col("pos_in_round").alias("_first_pos"),
+                                     F.col("etag").alias("_stored_etag")))
+            # 304 only when the stored ETag (from the indexing fetch —
+            # a redirect stores the *redirect row's* ETag) matches the
+            # page's current ETag, mirroring fetch_page's
+            # If-None-Match round-trip (crawler.py:974-984)
+            intra304 = (
+                ok.join(first_indexed
+                        .select("site", F.col("final_url").alias("url"),
+                                "_first_pos", "_stored_etag"),
+                        ["site", "url"])
+                .filter((F.col("_first_pos") < F.col("pos_in_round"))
+                        & F.col("etag").isNotNull()
+                        & (F.col("_stored_etag") == F.col("etag")))
+                .select("site", "url", "pos_in_round",
+                        F.md5(F.col("url")).alias("refresh_id")))
+            intra304.persist()
+            intra_skip = (
+                ok.join(F.broadcast(intra304.select(
+                    "site", "pos_in_round").withColumn("_is304", F.lit(True))),
+                    ["site", "pos_in_round"], "left")
+                .join(first_indexed, ["site", "final_url"], "left")
+                .withColumn("f_cache_skip_final",
+                            F.col("f_cache_skip")
+                            | (F.col("_first_pos").isNotNull()
+                               & (F.col("_first_pos") < F.col("pos_in_round"))
+                               & F.col("_is304").isNull())))
+
+            docs = indexed.select(
+                F.col("doc_id").alias("id"), "site",
+                F.col("final_url").alias("url"), "title", "excerpt", "content",
+                F.from_json("images_json", IMAGES_SCHEMA).alias("images"),
+                "lang", F.lit(int(now)).alias("timestamp"),
+                F.lit(now).alias("indexed_at"), F.lit(now).alias("last_crawled_at"),
+                "content_hash", F.lit(rno).alias("round"))
+            stage("documents", docs)
+            stage("content_hashes",
+                  indexed.select("site", "content_hash", F.lit(rno).alias("round")))
+            stage("url_seen_log", indexed.select(
+                F.col("final_url").alias("url"), "content_hash", "doc_id",
+                F.lit(now).alias("last_crawl"), "etag", "last_modified",
+                "site", F.lit(rno).alias("round")))
+
+            refreshes = fetched.filter(F.col("fetch_status") == 304).select(
+                F.col("doc_id").alias("id"), F.lit(now).alias("last_crawled_at"),
+                F.lit(rno).alias("round"))
+            refreshes = refreshes.unionByName(intra304.select(
+                F.col("refresh_id").alias("id"),
+                F.lit(now).alias("last_crawled_at"), F.lit(rno).alias("round")))
+            stage("refreshes", refreshes)
+
+            # ---- visited additions: every batch member + ext-skips
+            # (crawler.py:1168-1173, 1185-1187) ----
+            new_visited = (
+                popped.filter(F.col("admissible") | F.col("f_ext"))
+                .select("site", "url", "url_hash")
+                .withColumn("round", F.lit(rno)))
+            stage("visited", new_visited.select("site", "url", "round"))
+
+            # ---- link discovery + frontier push (crawler.py:1203-1208) ----
+            links = (
+                fetched.filter((F.col("fetch_status") == 200) & F.col("links").isNotNull())
+                .join(intra304.select("site", "pos_in_round"),
+                      ["site", "pos_in_round"], "left_anti")
+                .select("site", "pos_in_round",
+                        (F.col("depth") + 1).alias("link_depth"),
+                        F.posexplode("links").alias("link_pos", "link_url")))
+            new_links = self._dedup_links(links, popped)
+
+            # counter assignment in insertion order (crawler.py:1206-1207)
+            wcnt = Window.partitionBy("site").orderBy("pos_in_round", "link_pos")
+            new_links = new_links.withColumn("_idx", F.row_number().over(wcnt) - 1)
+            base = F.lit(0)
+            for name, st in self.sites.items():
+                base = F.when(F.col("site") == name,
+                              F.lit(st.url_counter)).otherwise(base)
+            adds = new_links.select(
+                "site", F.col("link_url").alias("url"),
+                F.col("host"), F.col("link_depth").alias("depth"),
+                (base + F.col("_idx")).cast("long").alias("counter"))
+            if cfg.max_queue_size is not None:
+                adds = self._apply_queue_cap(adds, new_links, popped)
+            stage("frontier_adds", adds)
+            stage("frontier_pops",
+                  popped.select("site", "counter").withColumn("round", F.lit(rno)))
+
+            # ---- metrics + lineage (A2/A3; status.json analog S9) ----
+            action = (
+                F.when(F.col("fetch_status") == -1, "error")
+                .when((F.col("fetch_status") == 304) | F.col("_is304").isNotNull(),
+                      "not_modified")
+                .when(F.col("fetch_status") == 0, "not_indexed_content_type")
+                .otherwise("fetched"))
+            fetch_counts = (
+                fetched.join(F.broadcast(intra304.select(
+                    "site", "pos_in_round").withColumn("_is304", F.lit(True))),
+                    ["site", "pos_in_round"], "left")
+                .groupBy("site", action.alias("action")).count())
+            skip_counts = popped.filter(~F.col("admissible")).groupBy(
+                "site",
+                F.when(F.col("f_visited"), "visited_dup")
+                .when(F.col("f_excluded"), "excluded")
+                .when(F.col("f_ext"), "ext_skipped")
+                .otherwise("robots_denied").alias("action")).count()
+            idx_counts = indexed.groupBy("site").agg(F.count("*").alias("count")) \
+                                .withColumn("action", F.lit("indexed")) \
+                                .select("site", "action", "count")
+            cache_skip_counts = intra_skip.filter(F.col("f_cache_skip_final")) \
+                .groupBy("site").agg(F.count("*").alias("count")) \
+                .withColumn("action", F.lit("skipped_cache")) \
+                .select("site", "action", "count")
+            metrics = (fetch_counts.unionByName(skip_counts)
+                       .unionByName(idx_counts).unionByName(cache_skip_counts)
+                       .withColumn("round", F.lit(rno)))
+            metrics_rows = metrics.collect()
+            stage("metrics", self.spark.createDataFrame(
+                metrics_rows, schema="site string, action string, count long, round int")
+                if metrics_rows else metrics)
+            lineage = (fetched.groupBy("site", F.spark_partition_id().alias("partition_id"))
+                       .agg(F.count("*").alias("n_rows"),
+                            F.sum(F.length(F.coalesce("content", F.lit("")))).alias("bytes_content"))
+                       .withColumn("round", F.lit(rno)))
+            stage("lineage", lineage)
+
+            # ---- driver state + bloom update ----
+            per_site_fetch = {}
+            for row in metrics_rows:
+                per_site_fetch.setdefault(row["site"], {})[row["action"]] = row["count"]
+            new_link_counts = {r["site"]: r["n"] for r in
+                               adds.groupBy("site").agg(F.count("*").alias("n")).collect()}
+            visited_hashes = [r["url_hash"] for r in
+                              new_visited.select("url_hash").collect()]
+            if visited_hashes:
+                touched = self._bloom.add_hashes(np.array(visited_hashes, dtype=np.int64))
+                self._bloom.save_partitions(self.catalog.blob_dir("bloom"), touched)
+
+            any_pop = False
+            for name, st in self.sites.items():
+                counts = per_site_fetch.get(name, {})
+                fetched_n = sum(counts.get(a, 0) for a in
+                                ("fetched", "not_modified", "not_indexed_content_type"))
+                st.pages_visited += fetched_n
+                st.url_counter += new_link_counts.get(name, 0)
+                if counts or new_link_counts.get(name):
+                    any_pop = True
+
+            self.round_no += 1
+            self.catalog.commit_round(rno, staged, self._state_dict())
+            indexed.unpersist()
+            intra304.unpersist()
+            return any_pop
+        finally:
+            fetched.unpersist()
+
+    def _dedup_links(self, links: DataFrame, popped: DataFrame) -> DataFrame:
+        """Push-time dedup (crawler.py:1205): drop links already visited
+        (incl. this round's batch members), already in the live
+        frontier, or duplicated within this round (first occurrence by
+        (pos_in_round, link_pos) wins)."""
+        links = links.withColumn("host", F.coalesce(
+            F.parse_url(F.col("link_url"), F.lit("HOST")), F.lit("")))
+        # within-round first occurrence
+        wfirst = Window.partitionBy("site", "link_url").orderBy("pos_in_round", "link_pos")
+        links = (links.withColumn("_rn", F.row_number().over(wfirst))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        # vs this round's batch (visited ∪ in_progress during collect)
+        links = links.join(
+            popped.filter(F.col("admissible") | F.col("f_ext"))
+            .select("site", F.col("url").alias("link_url")),
+            ["site", "link_url"], "left_anti")
+        # vs historical visited (Bloom prefilter → exact anti-join)
+        visited = self.catalog.read("visited")
+        if visited is not None:
+            links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
+            probe = links.select("site", F.col("link_url"), "url_hash",
+                                 "pos_in_round", "link_pos", "link_depth", "host")
+            parts = self.spark.sparkContext.broadcast([p for p in self._bloom.parts])
+            num_partitions, bits, k = (self._bloom.num_partitions, self._bloom.bits,
+                                       self._bloom.k)
+
+            def split_probe(batches):
+                bloom = PartitionedBloom(num_partitions, bits, k)
+                bloom.parts = parts.value
+                for pdf in batches:
+                    if len(pdf):
+                        mask = bloom.might_contain(pdf["url_hash"].to_numpy())
+                        pdf = pdf.assign(_maybe=mask)
+                    else:
+                        pdf = pdf.assign(_maybe=pd.Series(dtype=bool))
+                    yield pdf
+
+            schema = StructType(list(probe.schema.fields)
+                                + [StructField("_maybe", BooleanType())])
+            probed = probe.mapInPandas(split_probe, schema=schema)
+            clean = probed.filter(~F.col("_maybe")).drop("_maybe", "url_hash")
+            maybe = (probed.filter(F.col("_maybe")).drop("_maybe", "url_hash")
+                     .join(visited.select("site", F.col("url").alias("link_url")).distinct(),
+                           ["site", "link_url"], "left_anti"))
+            links = clean.unionByName(maybe)
+        # vs live frontier *minus this round's pops* — a popped entry is
+        # discarded from to_visit at pop time (crawler.py:1162), so a
+        # link rediscovering an excluded/denied URL is pushed again
+        live = self._live_frontier()
+        if live is not None:
+            still_queued = live.join(popped.select("site", "counter"),
+                                     ["site", "counter"], "left_anti")
+            links = links.join(
+                still_queued.select("site", F.col("url").alias("link_url")),
+                ["site", "link_url"], "left_anti")
+        return links
+
+    def _apply_queue_cap(self, adds: DataFrame, new_links: DataFrame,
+                         popped: DataFrame) -> DataFrame:
+        """MAX_QUEUE_SIZE gate (crawler.py:1203): a page's links are
+        pushed only if the frontier is under the cap at that page's
+        turn. Sequential recurrence over per-page counts — tiny
+        driver-side array, only when a cap is configured."""
+        cap = self.cfg.max_queue_size
+        live = self._live_frontier()
+        popped_n = {r["site"]: r["n"] for r in
+                    popped.groupBy("site").agg(F.count("*").alias("n")).collect()}
+        live_n = {r["site"]: r["n"] for r in
+                  live.groupBy("site").agg(F.count("*").alias("n")).collect()} if live is not None else {}
+        per_page = (new_links.groupBy("site", "pos_in_round")
+                    .agg(F.count("*").alias("n")).collect())
+        by_site: dict[str, list] = {}
+        for r in sorted(per_page, key=lambda r: (r["site"], r["pos_in_round"])):
+            by_site.setdefault(r["site"], []).append((r["pos_in_round"], r["n"]))
+        allowed: list[tuple[str, int]] = []
+        for site, pages in by_site.items():
+            size = live_n.get(site, 0) - popped_n.get(site, 0)
+            for pos, n in pages:
+                if size < cap:
+                    allowed.append((site, pos))
+                    size += n
+        if not allowed:
+            return adds.limit(0)
+        allow_df = self.spark.createDataFrame(
+            allowed, schema="site string, pos_in_round int")
+        kept = new_links.join(allow_df, ["site", "pos_in_round"], "left_semi")
+        wcnt = Window.partitionBy("site").orderBy("pos_in_round", "link_pos")
+        kept = kept.withColumn("_idx", F.row_number().over(wcnt) - 1)
+        base = F.lit(0)
+        for name, st in self.sites.items():
+            base = F.when(F.col("site") == name, F.lit(st.url_counter)).otherwise(base)
+        return kept.select(
+            "site", F.col("link_url").alias("url"), "host",
+            F.col("link_depth").alias("depth"),
+            (base + F.col("_idx")).cast("long").alias("counter"))
+
+
+def _host_of(url: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(url).netloc

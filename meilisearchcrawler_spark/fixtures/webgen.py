@@ -1,0 +1,315 @@
+"""Deterministic synthetic web generator.
+
+Produces the four crawl-input tables from FIXTURES.md (§2-§5): `seeds`,
+`pages`, `robots`, and a pre-seeded `url_seen`, shaped after the
+reference's own config-driven fixtures (sites.yml.example:1-42) and
+exercising every admission/indexing branch of the reference loop:
+
+* excluded URLs (global + per-site patterns, crawler.py:112-119,484-487)
+* ignored-extension URLs (crawler.py:1168-1173)
+* off-domain / invalid-scheme / localhost links (crawler.py:480-499)
+* robots-disallowed paths (crawler.py:1174-1176)
+* no-index pages (crawler.py:1033)
+* duplicate-content clones (crawler.py:1034-1039)
+* short-content pages (< 50 chars, crawler.py:1038)
+* non-HTML responses (crawler.py:985-988)
+* hard errors 404/500 (retry path crawler.py:995-1001)
+* redirects (crawler.py:1022-1023)
+* 304-able pages + fresh/stale cache entries (crawler.py:974-984,
+  cache_db.py:83-93)
+* link variants (fragments, trailing slashes) that collapse under P1
+
+Everything derives from ``random.Random(seed)`` — same seed, same web.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from ..functions import html as H
+from ..functions import text as T
+from ..functions.urls import normalize_url
+
+# Logical epoch for the deterministic clock (replaces wall clock,
+# SURVEY.md §7 hard part 2).
+T0 = 1_700_000_000.0
+
+_WORDS = (
+    "spark frontier fetch crawl index document caption image politeness "
+    "robots budget round partition shuffle broadcast bloom filter hash url "
+    "depth counter queue batch arrow pandas vector column parquet iceberg "
+    "snapshot commit resume lineage metric host domain schedule priority"
+).split()
+
+
+@dataclass
+class WebFixture:
+    seeds: list[dict]
+    pages: list[dict]
+    robots: list[dict]
+    url_seen: list[dict]
+    page_images: list[dict] = field(default_factory=list)
+
+    def pages_by_url(self) -> dict[str, dict]:
+        return {p["url"]: p for p in self.pages}
+
+
+def _para(rng: random.Random, n_words: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n_words)).capitalize() + "."
+
+
+def _sentences(rng: random.Random, n: int) -> str:
+    return " ".join(_para(rng, rng.randint(6, 14)) for _ in range(n))
+
+
+def _page_html(rng: random.Random, *, title_mode: str, container: str,
+               body_text: str, links: list[str], images: list[dict],
+               lang_attr: str | None) -> str:
+    head = []
+    if title_mode in ("og", "og+title"):
+        head.append(f'<meta property="og:title" content="OG {body_text[:18]}">')
+    if title_mode in ("title", "og+title"):
+        head.append(f"<title>Title {body_text[:14]}</title>")
+    h1 = f"<h1>H1 {body_text[:10]}</h1>" if title_mode in ("h1", "og+title") else ""
+    img_tags = "".join(
+        f'<img src="{im["src"]}" alt="{im["alt"]}" width="{im["w"]}" height="{im["h"]}">'
+        for im in images
+    )
+    a_tags = "".join(f'<a href="{href}">l</a>' for href in links)
+    inner = f"{h1}<p>{body_text}</p>{img_tags}{a_tags}"
+    if container == "main":
+        body = f"<main>{inner}</main>"
+    elif container == "article":
+        body = f"<article>{inner}</article>"
+    elif container == "content_div":
+        body = f'<div id="content">{inner}</div>'
+    else:
+        body = inner
+    lang = f' lang="{lang_attr}"' if lang_attr else ""
+    return (
+        f"<html{lang}><head>{''.join(head)}</head><body>"
+        f'<nav><a href="/">home</a> site navigation menu links</nav>'
+        f"{body}"
+        f"<footer>Copyright footer boilerplate text</footer>"
+        f"</body></html>"
+    )
+
+
+def generate_web(seed: int = 42, n_sites: int = 3,
+                 pages_per_site: int = 40) -> WebFixture:
+    rng = random.Random(seed)
+    seeds: list[dict] = []
+    pages: list[dict] = []
+    robots: list[dict] = []
+    url_seen: list[dict] = []
+    page_images: list[dict] = []
+    img_counter = 0
+
+    for s in range(n_sites):
+        host = f"site{s}.example.com"
+        base = f"http://{host}"
+        seed_url = f"{base}/"
+        selector = "#content" if s % 3 == 2 else None
+        site = {
+            "site": f"site{s}",
+            "seed_url": seed_url,
+            "type": "html",
+            "max_pages": 0,
+            "max_depth": 3,
+            "delay": [0.5, 0.2, 1.0][s % 3],
+            "exclude": ["/private"],
+            "no_index": ["/noindex"],
+            "lang": "fr",
+            "selector": selector,
+        }
+        seeds.append(site)
+        robots.append({
+            "host": host,
+            "disallow": ["/blocked"],
+            "crawl_delay": 0.25 if s % 2 else None,
+            "fetch_fails": s == n_sites - 1,  # allow_all fallback path
+        })
+
+        # --- page topology ------------------------------------------------
+        paths = ["/"] + [f"/p{i}" for i in range(1, pages_per_site)]
+        # special pages (replace some tail paths)
+        special = {}
+        if pages_per_site >= 24:
+            special[f"/p{pages_per_site - 1}"] = "error500"
+            special[f"/p{pages_per_site - 2}"] = "error404"
+            special[f"/p{pages_per_site - 3}"] = "nonhtml"
+            special[f"/p{pages_per_site - 4}"] = "short"
+            special[f"/p{pages_per_site - 5}"] = "dup_a"
+            special[f"/p{pages_per_site - 6}"] = "dup_b"
+            special[f"/p{pages_per_site - 7}"] = "redirect"
+            special[f"/p{pages_per_site - 8}"] = "noindex_page"
+            special[f"/p{pages_per_site - 9}"] = "blocked_page"
+            special[f"/p{pages_per_site - 10}"] = "etag304"
+            special[f"/p{pages_per_site - 11}"] = "cache_fresh"
+            special[f"/p{pages_per_site - 12}"] = "cache_stale"
+
+        # rename pages that must match URL-pattern filters
+        renamed = {}
+        for path, kind in special.items():
+            if kind == "noindex_page":
+                renamed[path] = "/noindex/a"
+            elif kind == "blocked_page":
+                renamed[path] = "/blocked/a"
+        paths = [renamed.get(p, p) for p in paths]
+        special = {renamed.get(p, p): k for p, k in special.items()}
+
+        dup_text = _sentences(rng, 8)
+
+        for pi, path in enumerate(paths):
+            url = normalize_url(base + path) if path != "/" else base
+            kind = special.get(path, "normal")
+            # outgoing links: forward edges to later pages + noise
+            targets: list[str] = []
+            later = paths[pi + 1:]
+            n_fwd = min(len(later), rng.randint(2, 5))
+            targets += [base + p for p in rng.sample(later, n_fwd)]
+            if pi > 0 and rng.random() < 0.5:
+                targets.append(base + rng.choice(paths[:pi]))  # back edge
+            noise_pool = [
+                f"{base}/private/x{pi}",                     # excluded (site)
+                f"{base}/login?next={pi}",                   # excluded (global)
+                f"{base}/files/f{pi}.pdf",                   # extension skip
+                f"{base}/img/pic{pi}.JPG",                   # extension skip
+                "http://elsewhere.example.org/x",            # off-domain
+                "ftp://site.example.com/x",                   # invalid scheme
+                "http://localhost/x",                        # invalid host
+                f"{base + rng.choice(paths)}#frag{pi}",      # collapses under P1
+                (base + rng.choice(paths)).rstrip("/") + "/",  # trailing slash
+            ]
+            targets += rng.sample(noise_pool, rng.randint(2, 4))
+            rng.shuffle(targets)
+
+            # images on ~half the pages
+            images = []
+            if rng.random() < 0.5 and kind == "normal":
+                for _ in range(rng.randint(1, 3)):
+                    image_id = f"img{img_counter:06d}"
+                    img_counter += 1
+                    caption = _para(rng, rng.randint(3, 7))
+                    w, h = rng.choice([(200, 150), (640, 480), (80, 60)])
+                    images.append({
+                        "src": f"/media/{image_id}.png",
+                        "alt": caption, "w": w, "h": h,
+                    })
+                    if w >= 100 and h >= 100:
+                        page_images.append({
+                            "page_url": url, "image_id": image_id,
+                            "caption": caption,
+                        })
+
+            if kind == "short":
+                body_text = "tiny"
+            elif kind in ("dup_a", "dup_b"):
+                body_text = dup_text
+            else:
+                body_text = _sentences(rng, rng.randint(6, 20))
+
+            title_mode = rng.choice(["og+title", "og", "title", "h1", "none"])
+            container = (
+                "content_div" if selector else
+                rng.choice(["main", "article", "content_div", "plain"])
+            )
+            lang_attr = rng.choice(["fr-FR", "en-US", "en", None])
+            html = _page_html(rng, title_mode=title_mode, container=container,
+                              body_text=body_text, links=targets,
+                              images=images, lang_attr=lang_attr)
+
+            row = {
+                "url": url,
+                "host": host,
+                "site": site["site"],
+                "status": 200,
+                "content_type": "text/html",
+                "etag": f'W/"{s}-{pi}-{rng.randint(0, 99999)}"',
+                "last_modified": "Mon, 01 Jan 2024 00:00:00 GMT",
+                "html": html,
+                "redirect_to": None,
+            }
+            if kind == "error500":
+                row["status"] = 500
+            elif kind == "error404":
+                row["status"] = 404
+            elif kind == "nonhtml":
+                row["content_type"] = "application/json"
+            elif kind == "redirect":
+                target = base + paths[1]
+                row["redirect_to"] = target
+            pages.append(row)
+
+        # redirect rows serve the *target's* html (aiohttp follows
+        # transparently, crawler.py:1022-1023)
+        by_url = {p["url"]: p for p in pages}
+        for p in pages:
+            if p.get("redirect_to"):
+                tgt = by_url.get(normalize_url(p["redirect_to"]))
+                if tgt is not None:
+                    p["html"] = tgt["html"]
+
+        # --- pre-seeded cache entries (incremental-crawl branches) --------
+        def _doc_hash(page: dict) -> str:
+            parsed = H.parse_page(page["html"], page["url"], seed_url,
+                                  selector, extract_link_targets=False)
+            content = T.clean_text(parsed.content_raw)
+            excerpt = T.create_excerpt(content)
+            return T.get_content_hash(content, parsed.title, parsed.images, excerpt)
+
+        for path, kind in special.items():
+            url = normalize_url(base + path)
+            page = next(p for p in pages if p["url"] == url)
+            if kind == "etag304":
+                url_seen.append({
+                    "url": url, "content_hash": "stale-hash-irrelevant",
+                    "doc_id": "prev", "last_crawl": T0 - 5 * 86400,
+                    "etag": page["etag"], "last_modified": page["last_modified"],
+                    "site": site["site"],
+                })
+            elif kind == "cache_fresh":
+                url_seen.append({
+                    "url": url, "content_hash": _doc_hash(page),
+                    "doc_id": "prev", "last_crawl": T0 - 5 * 86400,
+                    "etag": None, "last_modified": None, "site": site["site"],
+                })
+            elif kind == "cache_stale":
+                url_seen.append({
+                    "url": url, "content_hash": _doc_hash(page),
+                    "doc_id": "prev", "last_crawl": T0 - 20 * 86400,
+                    "etag": None, "last_modified": None, "site": site["site"],
+                })
+
+    return WebFixture(seeds=seeds, pages=pages, robots=robots,
+                      url_seen=url_seen, page_images=page_images)
+
+
+def write_parquet(fixture: WebFixture, out_dir: str) -> dict[str, str]:
+    """Persist the fixture tables with pyarrow (no Spark session needed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+
+    def _write(name: str, rows: list[dict], schema: pa.Schema | None = None):
+        if not rows:
+            return
+        table = pa.Table.from_pylist(rows, schema=schema)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(table, path)
+        paths[name] = path
+
+    _write("pages", fixture.pages)
+    _write("seeds", [
+        {**s, "exclude": list(s["exclude"]), "no_index": list(s["no_index"])}
+        for s in fixture.seeds
+    ])
+    _write("robots", fixture.robots)
+    _write("url_seen", fixture.url_seen)
+    _write("page_images", fixture.page_images)
+    return paths

@@ -1,0 +1,151 @@
+"""Multimodal (image) column operators.
+
+The payload table carries opaque ``binary`` image bytes with typed
+metadata (input_hint shape). All pixel work happens in Arrow-batched
+``mapInPandas`` kernels — the Spark-side plumbing (schema, partitioning,
+batch shape) is real; the codec is the in-repo deterministic
+numpy codec (``fixtures/imagegen.py``; a real deployment swaps in
+PIL/libjpeg behind the same kernel signature).
+
+Scale notes: decode is embarrassingly parallel — no shuffle at all;
+the verify/feature kernels are pure map stages whose cost is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × image size. The only
+shuffle in this module is the near-duplicate phash self-join, which
+uses the same Hamming block trick as SimHash (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+VERIFY_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("fmt", StringType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("psnr_db", DoubleType()),
+    StructField("pixels_exact", BooleanType()),
+    StructField("phash_decoded", LongType()),
+    StructField("phash_stored", LongType()),
+    StructField("phash_hamming", IntegerType()),
+    StructField("decode_ok", BooleanType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("stddev_luma", DoubleType()),
+    StructField("edge_energy", DoubleType()),
+])
+
+
+def decode_and_verify(df: DataFrame) -> DataFrame:
+    """Per-row decode invariants (input_hint): decoded pixels exactly
+    equal the deterministic ground truth for lossless formats, PSNR ≥
+    40 dB for lossy; recomputed phash equals the stored phash."""
+
+    def kernel(batches):
+        import numpy as np
+
+        from ..fixtures import imagegen as I
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"image_id": row.image_id, "fmt": row.fmt,
+                       "w": int(row.w), "h": int(row.h), "psnr_db": None,
+                       "pixels_exact": None, "phash_decoded": None,
+                       "phash_stored": int(row.phash),
+                       "phash_hamming": None, "decode_ok": False}
+                try:
+                    fmt, px = I.decode(bytes(row.bytes))
+                    truth = I.pixels_for(row.image_id, int(row.w), int(row.h))
+                    rec["decode_ok"] = (fmt == row.fmt
+                                        and px.shape == truth.shape)
+                    rec["psnr_db"] = round(I.psnr(px, truth), 3) \
+                        if np.isfinite(I.psnr(px, truth)) else 999.0
+                    rec["pixels_exact"] = bool(np.array_equal(px, truth))
+                    ph = I.phash64(px)
+                    rec["phash_decoded"] = np.int64(np.uint64(ph)).item()
+                    rec["phash_hamming"] = I.hamming64(
+                        np.uint64(ph).item(),
+                        np.uint64(np.int64(row.phash)).item())
+                except Exception:
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt", "phash") \
+             .mapInPandas(kernel, schema=VERIFY_SCHEMA)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over decoded pixels (channel means, luma
+    stddev, gradient energy) — the resize/embed plumbing pattern."""
+
+    def kernel(batches):
+        import numpy as np
+
+        from ..fixtures import imagegen as I
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, px = I.decode(bytes(row.bytes))
+                    pxf = px.astype(np.float64)
+                    luma = pxf.mean(axis=2)
+                    gy, gx = np.gradient(luma)
+                    out.append({
+                        "image_id": row.image_id,
+                        "mean_r": round(float(pxf[:, :, 0].mean()), 4),
+                        "mean_g": round(float(pxf[:, :, 1].mean()), 4),
+                        "mean_b": round(float(pxf[:, :, 2].mean()), 4),
+                        "stddev_luma": round(float(luma.std()), 4),
+                        "edge_energy": round(float(np.mean(gx ** 2 + gy ** 2)), 4),
+                    })
+                except Exception:
+                    out.append({"image_id": row.image_id, "mean_r": None,
+                                "mean_g": None, "mean_b": None,
+                                "stddev_luma": None, "edge_energy": None})
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select("image_id", "bytes").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def phash_near_pairs(df: DataFrame, max_hamming: int = 6,
+                     id_col: str = "image_id",
+                     phash_col: str = "phash") -> DataFrame:
+    """Near-duplicate images by phash Hamming distance ≤ k via the
+    block-permutation join (any pair within k agrees on ≥1 of k+1
+    blocks) — no n² cross join."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = [
+        F.struct(F.lit(bi).alias("block_id"),
+                 F.shiftrightunsigned(F.col(phash_col), bi * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"))
+        for bi in range(nblocks)
+    ]
+    blocked = (df.select(id_col, phash_col,
+                         F.explode(F.array(*blocks)).alias("b"))
+               .select(id_col, phash_col, "b.block_id", "b.block_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}")))
+    return (
+        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
+               & (F.col("a.block_val") == F.col("b.block_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+    )

@@ -1,0 +1,168 @@
+"""Crawl-ordering + seen-set equivalence: the Spark engine must
+reproduce the reference algorithm (via the in-process oracle,
+oracle/refcrawler.py) exactly — admitted-batch sequence with positions
+and counters, final URL-seen set with field equality, visited set,
+document rows, and stats (SURVEY.md §5 item 2; the north-rule
+correctness gate)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meilisearchcrawler_spark.config import CrawlConfig
+from meilisearchcrawler_spark.engine.crawler import CrawlEngine
+from meilisearchcrawler_spark.fixtures.webgen import generate_web, write_parquet
+from meilisearchcrawler_spark.oracle.refcrawler import crawl_site
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    fx = generate_web(seed=7, n_sites=3, pages_per_site=40)
+    out = tmp_path_factory.mktemp("web")
+    paths = write_parquet(fx, str(out))
+    return fx, paths
+
+
+def _assert_equivalent(eng: CrawlEngine, oracle_by_site: dict, *,
+                       check_stats: bool = True) -> None:
+    log = eng.catalog.read("crawl_log")
+    rows = log.collect()
+    adm = sorted(
+        (r["round"], r["pos_in_round"], r["url"], r["counter"], r["site"])
+        for r in rows if r["action"] == "admitted")
+    seen_df = eng.url_seen()
+    e_seen_all = {(r["site"], r["url"]): r for r in seen_df.collect()} \
+        if seen_df is not None else {}
+    docs_df = eng.documents()
+    e_docs_all: dict[str, dict] = {}
+    if docs_df is not None:
+        for r in docs_df.collect():
+            e_docs_all.setdefault(r["site"], {})[r["id"]] = r
+    visited_df = eng.catalog.read("visited")
+    e_visited_all: dict[str, set] = {}
+    if visited_df is not None:
+        for r in visited_df.collect():
+            e_visited_all.setdefault(r["site"], set()).add(r["url"])
+    metrics = eng.catalog.read("metrics")
+    e_stats_all: dict[str, dict] = {}
+    if metrics is not None:
+        for r in metrics.collect():
+            e_stats_all.setdefault(r["site"], {})
+            e_stats_all[r["site"]][r["action"]] = (
+                e_stats_all[r["site"]].get(r["action"], 0) + r["count"])
+
+    for site, orc in oracle_by_site.items():
+        # (a) admitted ordering, with counters
+        o_seq = [(r["round"], r["pos_in_round"], r["url"], r["counter"])
+                 for r in orc.crawl_log if r["action"] == "admitted"]
+        e_seq = [(r0, p, u, c) for (r0, p, u, c, s) in adm if s == site]
+        assert e_seq == o_seq, f"{site}: admitted sequence diverges"
+        # (b) URL-seen set equality, field-exact
+        o_seen = {u: e for u, e in orc.url_seen.items() if e["site"] == site}
+        e_seen = {u: e_seen_all[(s, u)] for (s, u) in e_seen_all if s == site}
+        assert set(e_seen) == set(o_seen), f"{site}: url_seen set diverges"
+        for u, o in o_seen.items():
+            e = e_seen[u]
+            for k in ("content_hash", "doc_id", "last_crawl", "etag",
+                      "last_modified"):
+                assert e[k] == o.get(k), f"{site}: url_seen[{u}].{k}"
+        # (c) visited set
+        assert e_visited_all.get(site, set()) == {
+            u for u in orc.visited}, f"{site}: visited set diverges"
+        # (d) document rows, field-exact incl. images structs
+        o_docs = {d["id"]: d for d in orc.documents}
+        e_docs = e_docs_all.get(site, {})
+        assert set(e_docs) == set(o_docs), f"{site}: document ids diverge"
+        for did, o in o_docs.items():
+            e = e_docs[did]
+            for k in ("url", "title", "excerpt", "content", "content_hash",
+                      "lang", "timestamp"):
+                assert e[k] == o[k], f"{site}: doc[{did}].{k}"
+            eimgs = [(i["url"], i["alt"], i["description"])
+                     for i in (e["images"] or [])]
+            oimgs = [(i["url"], i["alt"], i["description"]) for i in o["images"]]
+            assert eimgs == oimgs, f"{site}: doc[{did}].images"
+        # (e) CrawlStats rollup (A2)
+        if check_stats:
+            es = e_stats_all.get(site, {})
+            got = {
+                "pages_indexed": es.get("indexed", 0),
+                "pages_not_modified": es.get("not_modified", 0),
+                "errors": es.get("error", 0),
+                "pages_skipped_cache": es.get("skipped_cache", 0),
+            }
+            want = {k: orc.stats[k] for k in got}
+            assert got == want, f"{site}: stats diverge"
+
+
+def _run_engine(spark, web, root, cfg, seeds=None):
+    fx, paths = web
+    eng = CrawlEngine(spark, str(root), paths["pages"],
+                      seeds or fx.seeds, fx.robots, cfg,
+                      initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=300)
+    return eng
+
+
+def test_ordering_equivalence_default_budget(spark, web, tmp_path):
+    """3 sites in lockstep at the reference batch size
+    (CONCURRENT_REQUESTS=2, crawler.py:100)."""
+    fx, _ = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=2) for s in fx.seeds}
+    eng = _run_engine(spark, web, tmp_path / "cat",
+                      CrawlConfig(round_budget=2, shuffle_partitions=4))
+    _assert_equivalent(eng, oracle)
+
+
+def test_ordering_equivalence_wide_budget(spark, web, tmp_path):
+    """Budget ≠ reference default exercises the cutoff window."""
+    fx, _ = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=7) for s in fx.seeds}
+    eng = _run_engine(spark, web, tmp_path / "cat",
+                      CrawlConfig(round_budget=7, shuffle_partitions=4))
+    _assert_equivalent(eng, oracle)
+
+
+def test_kill_resume_bit_identical(spark, web, tmp_path):
+    """Kill after 4 committed rounds; a fresh engine instance resumes
+    from the manifest and the final state equals the uninterrupted run
+    (ST4, crawler.py:1096-1115,1221-1224 — strengthened to
+    bit-identity by atomic round commits)."""
+    fx, paths = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=3) for s in fx.seeds}
+    root = tmp_path / "cat"
+    cfg = CrawlConfig(round_budget=3, shuffle_partitions=4)
+    eng1 = CrawlEngine(spark, str(root), paths["pages"], fx.seeds, fx.robots,
+                       cfg, initial_url_seen=fx.url_seen)
+    eng1.run(max_rounds=4)
+    eng2 = CrawlEngine(spark, str(root), paths["pages"], fx.seeds, fx.robots, cfg)
+    eng2.run(max_rounds=300)
+    _assert_equivalent(eng2, oracle)
+
+
+def test_max_pages_budget(spark, web, tmp_path):
+    """max_pages cap semantics (crawler.py:1155-1160)."""
+    fx, paths = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=2, max_pages=9)
+              for s in fx.seeds}
+    seeds_mp = [dict(s, max_pages=9) for s in fx.seeds]
+    eng = CrawlEngine(spark, str(tmp_path / "cat"), paths["pages"], seeds_mp,
+                      fx.robots, CrawlConfig(round_budget=2, shuffle_partitions=4),
+                      initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=100)
+    _assert_equivalent(eng, oracle, check_stats=False)
+
+
+def test_queue_cap(spark, web, tmp_path):
+    """MAX_QUEUE_SIZE gate (crawler.py:1152-1154, 1203)."""
+    fx, paths = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=2, max_queue_size=6)
+              for s in fx.seeds}
+    eng = CrawlEngine(
+        spark, str(tmp_path / "cat"), paths["pages"], fx.seeds, fx.robots,
+        CrawlConfig(round_budget=2, shuffle_partitions=4, max_queue_size=6),
+        initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=300)
+    _assert_equivalent(eng, oracle)
