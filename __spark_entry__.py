@@ -453,6 +453,54 @@ WITH base AS (SELECT doc_id, {hits} FROM documents)
 SELECT doc_id, {case} AS lang_guess, {best} AS stopword_hits FROM base"""
 
 
+def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl engine end-to-end (rows-only check; its real oracle is
+    the reference-semantics equivalence suite,
+    tests/test_engine_equivalence.py): seeded synthetic web → frontier
+    rounds → indexed documents. Ignores sf_dir (the crawl input is the
+    deterministic fixture web, not the TPC-H tables)."""
+    import tempfile
+
+    from meilisearchcrawler_spark.config import CrawlConfig
+    from meilisearchcrawler_spark.engine.crawler import CrawlEngine
+    from meilisearchcrawler_spark.fixtures.webgen import generate_web, write_parquet
+
+    fx = generate_web(seed=5, n_sites=2, pages_per_site=30)
+    tmp = tempfile.mkdtemp(prefix="mcspark_q90_")
+    paths = write_parquet(fx, os.path.join(tmp, "web"))
+    eng = CrawlEngine(spark, os.path.join(tmp, "cat"), paths["pages"],
+                      fx.seeds, fx.robots,
+                      CrawlConfig(round_budget=8, shuffle_partitions=8),
+                      initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=60)
+    docs = eng.documents()
+    return docs.select("id", "site", "url", "title", "content_hash", "lang",
+                       "timestamp")
+
+
+def q91_image_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image payload decode invariants per format (rows-only check;
+    asserted exactly in tests/test_images.py): decode_ok everywhere,
+    pixels exact for lossless, PSNR ≥ 40 dB for jpeg."""
+    import tempfile
+
+    from meilisearchcrawler_spark.fixtures import imagegen as I
+    from meilisearchcrawler_spark.fixtures.webgen import generate_web
+    from meilisearchcrawler_spark.operators.images import decode_and_verify
+
+    fx = generate_web(seed=5, n_sites=2, pages_per_site=30)
+    rows = I.generate_images(fx.page_images, seed=5)
+    path = os.path.join(tempfile.mkdtemp(prefix="mcspark_q91_"), "images.parquet")
+    I.write_images_parquet(rows, path)
+    verified = decode_and_verify(spark.read.parquet(path))
+    return (verified.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("decode_ok").cast("int")).alias("n_decode_ok"),
+        F.sum(F.col("pixels_exact").cast("int")).alias("n_pixels_exact"),
+        F.round(F.min("psnr_db"), 1).alias("min_psnr_db"),
+        F.max("phash_hamming").alias("max_phash_hamming")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke check)."""
     ship_package(spark)
@@ -486,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_text_quality": q23_text_quality,
         "q24_language_id": q24_language_id,
         "q25_fingerprint": q25_fingerprint,
+        # engine-level, non-SQL-expressible → rows-only driver check;
+        # exact oracles live in tests/ (equivalence suite, image suite)
+        "q90_crawl_end_to_end": q90_crawl_end_to_end,
+        "q91_image_decode_invariants": q91_image_decode_invariants,
     }
 
 

@@ -88,3 +88,6 @@ class CrawlConfig:
     host_partition_rows: int = 10_000
     bloom_num_partitions: int = 64
     bloom_bits_per_key: int = 10
+    # Fold table deltas every N rounds (Iceberg rewrite_data_files
+    # analog) — bounds the union-read fan-in of hot tables.
+    compact_every: int = 8

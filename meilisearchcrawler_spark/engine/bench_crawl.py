@@ -17,6 +17,7 @@ import tempfile
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..fixtures.webgen import generate_web, write_parquet
@@ -26,17 +27,21 @@ _FIXTURE_CACHE: dict[tuple, tuple] = {}
 
 
 def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
+                  fanout: tuple[int, int] = (14, 24),
                   base_dir: str | None = None):
-    """Deterministic bench web, cached on disk across runs."""
-    key = (n_sites, pages_per_site, seed)
+    """Deterministic bench web, cached on disk across runs. High
+    fan-out so each wave (round) carries thousands of URLs — per-URL
+    work must dominate round orchestration, as it does at scale."""
+    key = (n_sites, pages_per_site, seed, fanout)
     if key in _FIXTURE_CACHE:
         return _FIXTURE_CACHE[key]
     base = base_dir or os.path.join(tempfile.gettempdir(), "mcspark_benchweb")
-    out = os.path.join(base, f"s{seed}_n{n_sites}_p{pages_per_site}")
+    out = os.path.join(base, f"s{seed}_n{n_sites}_p{pages_per_site}_f{fanout[0]}")
     marker = os.path.join(out, "_DONE")
-    fx = generate_web(seed=seed, n_sites=n_sites, pages_per_site=pages_per_site)
+    fx = generate_web(seed=seed, n_sites=n_sites, pages_per_site=pages_per_site,
+                      fanout=fanout)
     if not os.path.exists(marker):
-        paths = write_parquet(fx, out)
+        write_parquet(fx, out)
         with open(marker, "w") as f:
             f.write("ok")
     paths = {name: os.path.join(out, f"{name}.parquet")
@@ -46,8 +51,8 @@ def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
 
 
 def crawl_throughput(spark: SparkSession, n_sites: int = 8,
-                     pages_per_site: int = 400, round_budget: int = 1024,
-                     host_budget: int | None = 512,
+                     pages_per_site: int = 1500, round_budget: int = 100_000,
+                     host_budget: int | None = None,
                      shuffle_partitions: int | None = None) -> dict:
     """Full crawl over the bench web; returns pages/sec + composition."""
     fx, paths = bench_fixture(n_sites, pages_per_site)
@@ -63,9 +68,8 @@ def crawl_throughput(spark: SparkSession, n_sites: int = 8,
     sec = time.perf_counter() - t0
     metrics = eng.catalog.read("metrics")
     counts = {r["action"]: r["n"] for r in
-              metrics.groupBy("action").agg(
-                  __import__("pyspark.sql.functions", fromlist=["sum"])
-                  .sum("count").alias("n")).collect()} if metrics is not None else {}
+              metrics.groupBy("action").agg(F.sum("count").alias("n"))
+              .collect()} if metrics is not None else {}
     fetched = sum(counts.get(a, 0) for a in
                   ("fetched", "not_modified", "not_indexed_content_type", "error"))
     indexed = counts.get("indexed", 0)
@@ -78,3 +82,79 @@ def crawl_throughput(spark: SparkSession, n_sites: int = 8,
         "indexed_per_sec": round(indexed / sec, 2) if sec > 0 else None,
         "actions": counts,
     }
+
+
+def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
+                           n_sites: int = 8, pages_per_site: int = 1500,
+                           shuffle_partitions: int | None = None) -> dict:
+    """Throughput of the fetch-extract-index stage — one engine round's
+    mapInPandas over an admitted set of ``n_urls`` (pages replicated
+    with distinct counters, exactly the physical work of a mega-round).
+    This is the stage whose cost scales with executors at 10^10-URL
+    scale; round orchestration is constant per round and amortizes.
+    """
+    from ..engine.crawler import FETCH_SCHEMA, _make_fetch_udf
+
+    fx, paths = bench_fixture(n_sites, pages_per_site)
+    sp = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    site_configs = {
+        s["site"]: {
+            "seed_url": s["seed_url"], "selector": s.get("selector"),
+            "lang": s.get("lang", "fr"), "max_depth": s.get("max_depth", 3),
+            "no_index": list(s.get("no_index", [])),
+            "exclude": list(s.get("exclude", [])), "max_pages": 0,
+        } for s in fx.seeds
+    }
+    udf = _make_fetch_udf(paths["pages"], site_configs)
+    pages = spark.read.parquet(paths["pages"]).select("site", "url", "host")
+    total_pages = pages.count()
+    reps = max(1, n_urls // total_pages)
+    admitted = (
+        pages.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .select("site", "url", "host",
+                F.lit(1).alias("depth"),
+                F.monotonically_increasing_id().alias("counter"),
+                F.lit(0).alias("pos_in_round"),
+                F.lit(None).cast("string").alias("cached_etag"))
+        .repartition(sp, F.xxhash64(F.col("host"), F.col("counter") % 10000))
+    )
+    t0 = time.perf_counter()
+    n = admitted.mapInPandas(udf, schema=FETCH_SCHEMA) \
+                .filter(F.col("fetch_status") == 200) \
+                .select(F.count("*").alias("n"), F.sum(F.length("content")).alias("b")) \
+                .collect()[0]
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "urls": total_pages * reps,
+            "parsed_ok": n["n"], "content_bytes": n["b"],
+            "urls_per_sec": round(total_pages * reps / sec, 1)}
+
+
+def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
+                           seed: int = 123) -> dict:
+    """Throughput of the image decode+verify stage over the payload
+    table (replicated to ``n_images``)."""
+    import tempfile as _tf
+
+    from ..fixtures import imagegen as I
+    from ..operators.images import decode_and_verify
+
+    fx, _ = bench_fixture()
+    rows = I.generate_images(fx.page_images[:500], seed=seed)
+    path = os.path.join(_tf.gettempdir(), f"mcspark_benchimg_{seed}.parquet")
+    if not os.path.exists(path):
+        I.write_images_parquet(rows, path)
+    base = spark.read.parquet(path)
+    reps = max(1, n_images // max(len(rows), 1))
+    df = base.crossJoin(spark.range(reps).withColumnRenamed("id", "rep")) \
+             .drop("rep").repartition(
+                 int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    t0 = time.perf_counter()
+    stats = decode_and_verify(df).select(
+        F.count("*").alias("n"),
+        F.sum(F.col("decode_ok").cast("int")).alias("ok"),
+        F.min("psnr_db").alias("min_psnr")).collect()[0]
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "images": stats["n"], "decode_ok": stats["ok"],
+            "min_psnr_db": stats["min_psnr"],
+            "images_per_sec": round(stats["n"] / sec, 1)}

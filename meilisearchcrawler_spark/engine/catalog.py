@@ -52,11 +52,18 @@ class CheckpointCatalog:
 
     # -- staged writes ----------------------------------------------------
 
-    def stage(self, table: str, df: DataFrame, round_no: int) -> str:
+    def stage(self, table: str, df: DataFrame, round_no: int,
+              max_files: int = 8) -> str:
         """Write a delta directory for ``table``; not visible until
-        :meth:`commit_round` lands."""
+        :meth:`commit_round` lands. Deltas are coalesced to a few files
+        — rounds at test scale are tiny and the union-read fan-in is
+        the cost that matters (Iceberg's write.target-file-size
+        equivalent); pass ``max_files=0`` to keep the natural
+        partitioning for genuinely large rounds."""
         rel = os.path.join(table, f"r{round_no:06d}_{uuid.uuid4().hex[:8]}")
         path = os.path.join(self.root, rel)
+        if max_files:
+            df = df.coalesce(max_files)
         df.write.mode("overwrite").parquet(path)
         return rel
 

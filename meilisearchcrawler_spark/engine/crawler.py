@@ -684,9 +684,35 @@ class CrawlEngine:
             self.catalog.commit_round(rno, staged, self._state_dict())
             indexed.unpersist()
             intra304.unpersist()
+            if self.cfg.compact_every and self.round_no % self.cfg.compact_every == 0:
+                self._compact()
             return any_pop
         finally:
             fetched.unpersist()
+
+    def _compact(self) -> None:
+        """Fold hot-table deltas: frontier becomes its live view (pops
+        applied), url_seen its latest-wins view, visited/content_hashes
+        distinct. Each compact commit is individually atomic; applying
+        adds before clearing pops keeps any crash point consistent."""
+        live = self._live_frontier()
+        if live is not None:
+            self.catalog.compact("frontier_adds", live)
+            pops = self.catalog.read("frontier_pops")
+            if pops is not None:
+                self.catalog.compact("frontier_pops", pops.limit(0))
+        seen = self._url_seen_latest()
+        if seen is not None:
+            self.catalog.compact("url_seen_log", seen)
+        visited = self.catalog.read("visited")
+        if visited is not None:
+            self.catalog.compact(
+                "visited", visited.groupBy("site", "url").agg(F.min("round").alias("round")))
+        hashes = self.catalog.read("content_hashes")
+        if hashes is not None:
+            self.catalog.compact(
+                "content_hashes",
+                hashes.groupBy("site", "content_hash").agg(F.min("round").alias("round")))
 
     def _dedup_links(self, links: DataFrame, popped: DataFrame) -> DataFrame:
         """Push-time dedup (crawler.py:1205): drop links already visited

@@ -97,7 +97,8 @@ def _page_html(rng: random.Random, *, title_mode: str, container: str,
 
 
 def generate_web(seed: int = 42, n_sites: int = 3,
-                 pages_per_site: int = 40) -> WebFixture:
+                 pages_per_site: int = 40,
+                 fanout: tuple[int, int] = (2, 5)) -> WebFixture:
     rng = random.Random(seed)
     seeds: list[dict] = []
     pages: list[dict] = []
@@ -167,7 +168,7 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             # outgoing links: forward edges to later pages + noise
             targets: list[str] = []
             later = paths[pi + 1:]
-            n_fwd = min(len(later), rng.randint(2, 5))
+            n_fwd = min(len(later), rng.randint(*fanout))
             targets += [base + p for p in rng.sample(later, n_fwd)]
             if pi > 0 and rng.random() < 0.5:
                 targets.append(base + rng.choice(paths[:pi]))  # back edge
