@@ -106,18 +106,26 @@ def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
             "exclude": list(s.get("exclude", [])), "max_pages": 0,
         } for s in fx.seeds
     }
+    from pyspark.sql.window import Window
+
     udf = _make_fetch_udf(paths["pages"], site_configs)
-    pages = spark.read.parquet(paths["pages"]).select("site", "url", "host")
+    pages = (spark.read.parquet(paths["pages"]).select("site", "url", "host")
+             .withColumn("pidx",
+                         F.row_number().over(Window.orderBy("url")) - 1))
     total_pages = pages.count()
-    reps = max(1, n_urls // total_pages)
+    # row-level replication: stream side is the splittable range (one
+    # row per benched URL), page rows come from a broadcast modulo-join
+    # — every core gets an even share; a rep-count crossJoin would cap
+    # parallelism at n_urls/total_pages tasks
     admitted = (
-        pages.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        spark.range(n_urls).repartition(sp * 4)
+        .withColumn("pidx", (F.col("id") % total_pages).cast("int"))
+        .join(F.broadcast(pages), "pidx")
         .select("site", "url", "host",
                 F.lit(1).alias("depth"),
-                F.monotonically_increasing_id().alias("counter"),
+                F.col("id").alias("counter"),
                 F.lit(0).alias("pos_in_round"),
                 F.lit(None).cast("string").alias("cached_etag"))
-        .repartition(sp, F.xxhash64(F.col("host"), F.col("counter") % 10000))
     )
     t0 = time.perf_counter()
     n = admitted.mapInPandas(udf, schema=FETCH_SCHEMA) \
@@ -125,9 +133,9 @@ def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
                 .select(F.count("*").alias("n"), F.sum(F.length("content")).alias("b")) \
                 .collect()[0]
     sec = time.perf_counter() - t0
-    return {"sec": round(sec, 3), "urls": total_pages * reps,
+    return {"sec": round(sec, 3), "urls": n_urls,
             "parsed_ok": n["n"], "content_bytes": n["b"],
-            "urls_per_sec": round(total_pages * reps / sec, 1)}
+            "urls_per_sec": round(n_urls / sec, 1)}
 
 
 def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
@@ -144,11 +152,16 @@ def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
     path = os.path.join(_tf.gettempdir(), f"mcspark_benchimg_{seed}.parquet")
     if not os.path.exists(path):
         I.write_images_parquet(rows, path)
-    base = spark.read.parquet(path)
-    reps = max(1, n_images // max(len(rows), 1))
-    df = base.crossJoin(spark.range(reps).withColumnRenamed("id", "rep")) \
-             .drop("rep").repartition(
-                 int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    from pyspark.sql.window import Window
+
+    base = (spark.read.parquet(path)
+            .withColumn("iidx",
+                        F.row_number().over(Window.orderBy("image_id")) - 1))
+    n_base = max(len(rows), 1)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = (spark.range(n_images).repartition(sp * 4)
+          .withColumn("iidx", (F.col("id") % n_base).cast("int"))
+          .join(F.broadcast(base), "iidx").drop("id", "iidx"))
     t0 = time.perf_counter()
     stats = decode_and_verify(df).select(
         F.count("*").alias("n"),

@@ -133,6 +133,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_sig")
+    # the banded signature table feeds three consumers (bucket sizing +
+    # both sides of the self-join); without this the shingle explode +
+    # groupBy runs 4× (measured 4× wall on the bench)
+    banded = banded.persist()
 
     bucket_sizes = banded.groupBy("band_id", "band_sig").agg(F.count("*").alias("_bs"))
     banded = (
