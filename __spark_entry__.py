@@ -453,6 +453,20 @@ WITH base AS (SELECT doc_id, {hits} FROM documents)
 SELECT doc_id, {case} AS lang_guess, {best} AS stopword_hits FROM base"""
 
 
+def q26_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (embedding coverage, check_indexing_status.py:72-87): docs
+    with/without a vector row, per source, with completion ratio."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec"))
+    joined = docs.join(emb, "doc_id", "left")
+    return (joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("has_vec", F.lit(0))).alias("n_with_vectors"),
+        F.round(F.sum(F.coalesce("has_vec", F.lit(0)))
+                / F.count("*"), 6).alias("coverage")))
+
+
 def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl engine end-to-end (rows-only check; its real oracle is
     the reference-semantics equivalence suite,
@@ -534,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_text_quality": q23_text_quality,
         "q24_language_id": q24_language_id,
         "q25_fingerprint": q25_fingerprint,
+        "q26_embedding_coverage": q26_embedding_coverage,
         # engine-level, non-SQL-expressible → rows-only driver check;
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
@@ -633,6 +648,13 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id LIMIT 10""",
         "q22_ann_lsh": _ann_sql(),
+        "q26_embedding_coverage": """
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_with_vectors,
+       round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS coverage
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY source""",
         "q23_text_quality": _quality_sql(),
         "q24_language_id": _langid_sql(),
         "q25_fingerprint": f"""
