@@ -498,6 +498,10 @@ class CrawlEngine:
             else:
                 ok = ok.withColumn("seen_hash", F.lit(None).cast("string")) \
                        .withColumn("seen_last_crawl", F.lit(None).cast("double"))
+            # ok feeds indexing, intra-round 304/skip classification and
+            # stats — persist once instead of re-running the url_seen
+            # join per consumer
+            ok = ok.persist()
             cache_skip = (
                 F.lit(not cfg.force_recrawl)
                 & F.col("seen_hash").isNotNull()
@@ -616,6 +620,7 @@ class CrawlEngine:
                 (base + F.col("_idx")).cast("long").alias("counter"))
             if cfg.max_queue_size is not None:
                 adds = self._apply_queue_cap(adds, new_links, popped)
+            adds = adds.persist()
             stage("frontier_adds", adds)
             stage("frontier_pops",
                   popped.select("site", "counter").withColumn("round", F.lit(rno)))
@@ -645,8 +650,12 @@ class CrawlEngine:
                 .groupBy("site").agg(F.count("*").alias("count")) \
                 .withColumn("action", F.lit("skipped_cache")) \
                 .select("site", "action", "count")
+            pushed_counts = adds.groupBy("site").agg(F.count("*").alias("count")) \
+                                .withColumn("action", F.lit("pushed")) \
+                                .select("site", "action", "count")
             metrics = (fetch_counts.unionByName(skip_counts)
                        .unionByName(idx_counts).unionByName(cache_skip_counts)
+                       .unionByName(pushed_counts)
                        .withColumn("round", F.lit(rno)))
             metrics_rows = metrics.collect()
             stage("metrics", self.spark.createDataFrame(
@@ -662,8 +671,8 @@ class CrawlEngine:
             per_site_fetch = {}
             for row in metrics_rows:
                 per_site_fetch.setdefault(row["site"], {})[row["action"]] = row["count"]
-            new_link_counts = {r["site"]: r["n"] for r in
-                               adds.groupBy("site").agg(F.count("*").alias("n")).collect()}
+            new_link_counts = {s: a.get("pushed", 0)
+                               for s, a in per_site_fetch.items()}
             visited_hashes = [r["url_hash"] for r in
                               new_visited.select("url_hash").collect()]
             if visited_hashes:
@@ -684,6 +693,8 @@ class CrawlEngine:
             self.catalog.commit_round(rno, staged, self._state_dict())
             indexed.unpersist()
             intra304.unpersist()
+            ok.unpersist()
+            adds.unpersist()
             if self.cfg.compact_every and self.round_no % self.cfg.compact_every == 0:
                 self._compact()
             return any_pop
