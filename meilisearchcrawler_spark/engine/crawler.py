@@ -422,25 +422,33 @@ class CrawlEngine:
             wsum = Window.partitionBy("site").orderBy(*order)
             cand = cand.withColumn(
                 "_adm_run", F.sum(F.col("admissible").cast("int")).over(wsum))
+            # admission flags (Bloom probe + windows) feed the cutoff,
+            # the stats collect, and every downstream consumer — persist
+            # the popped frame and materialize it via the stats collect
+            cand = cand.persist()
             popped = cand.filter(
                 F.when(F.col("admissible"), F.col("_adm_run") <= budget)
-                .otherwise(F.col("_adm_run") < budget))
+                .otherwise(F.col("_adm_run") < budget)).withColumn(
+                "pos_in_round",
+                F.when(F.col("admissible"),
+                       F.row_number().over(
+                           Window.partitionBy("site", "admissible")
+                           .orderBy(*order)) - 1).otherwise(F.lit(-1)))
+            popped = popped.persist()
             stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
                      prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
                      .join(popped.groupBy("site")
                            .agg(F.sum(F.col("admissible").cast("int")).alias("n_adm")),
                            "site", "left").collect()}
+            cand.unpersist()
             under = [s for s, (n_adm, n_rank) in stats.items()
                      if (n_adm or 0) < budgets[s] and n_rank == prefix_k]
             if not under:
                 if not stats:
+                    popped.unpersist()
                     return None
-                return popped.withColumn(
-                    "pos_in_round",
-                    F.when(F.col("admissible"),
-                           F.row_number().over(
-                               Window.partitionBy("site", "admissible")
-                               .orderBy(*order)) - 1).otherwise(F.lit(-1)))
+                return popped
+            popped.unpersist()
             prefix_k *= 8
 
     # ---------------------------------------------------------- execution
