@@ -1,0 +1,110 @@
+"""F17 safety filter, streaming metrics rollup, embedding encode stage."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+
+from meilisearchcrawler_spark.search.safety import (
+    filter_results,
+    is_safe_oracle,
+)
+
+SAFETY_CFG = {
+    "blocked_domains": ["bad.example.com"],
+    "allowed_domains": [],
+    "blocked_keywords": ["forbidden", "nsfw"],
+    "blocked_patterns": [r"secret\s+pattern"],
+}
+
+
+def _results(seed=5, n=40):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        domain = rng.choice(["www.Good.example.com", "bad.example.com", "ok.org"])
+        title = rng.choice(["Nice article", "A FORBIDDEN title", "Plain"])
+        content = rng.choice(["hello world", "contains secret  pattern inside",
+                              "totally fine", None])
+        rows.append({"url": f"http://{domain}/p{i}" + ("?nsfw=1" if i % 9 == 0 else ""),
+                     "title": title, "excerpt": rng.choice(["short", None]),
+                     "content": content})
+    return rows
+
+
+class TestSafety:
+    def test_matches_oracle(self, spark):
+        rows = _results()
+        df = spark.createDataFrame(
+            [Row(**r) for r in rows],
+            schema="url string, title string, excerpt string, content string")
+        got = {r["url"] for r in filter_results(df, SAFETY_CFG).collect()}
+        want = {r["url"] for r in rows if is_safe_oracle(SAFETY_CFG, r)}
+        assert got == want
+        assert 0 < len(want) < len(rows)  # both branches exercised
+
+    def test_whitelist_mode(self, spark):
+        cfg = dict(SAFETY_CFG, allowed_domains=["ok.org"])
+        rows = _results()
+        df = spark.createDataFrame(
+            [Row(**r) for r in rows],
+            schema="url string, title string, excerpt string, content string")
+        got = {r["url"] for r in filter_results(df, cfg).collect()}
+        want = {r["url"] for r in rows if is_safe_oracle(cfg, r)}
+        assert got == want
+        assert all("ok.org" in u for u in got)
+
+
+class TestStreamingMetrics:
+    def test_live_rollup_over_catalog(self, spark, tmp_path):
+        """Run a short crawl, then drain the metrics stream and compare
+        the running rollup against a batch aggregation of the same
+        table (the status.json analog, S9/A2)."""
+        from pyspark.sql import functions as F
+
+        from meilisearchcrawler_spark.config import CrawlConfig
+        from meilisearchcrawler_spark.engine.crawler import CrawlEngine
+        from meilisearchcrawler_spark.fixtures.webgen import (
+            generate_web, write_parquet,
+        )
+        from meilisearchcrawler_spark.streaming.metrics_stream import (
+            run_rollup_once,
+        )
+
+        fx = generate_web(seed=13, n_sites=1, pages_per_site=28)
+        paths = write_parquet(fx, str(tmp_path / "web"))
+        root = str(tmp_path / "cat")
+        eng = CrawlEngine(spark, root, paths["pages"], fx.seeds, fx.robots,
+                          CrawlConfig(round_budget=6, shuffle_partitions=4),
+                          initial_url_seen=fx.url_seen)
+        eng.run(max_rounds=12)
+
+        rows = run_rollup_once(spark, root, str(tmp_path / "ckpt"))
+        got = {(r["site"], r["action"]): r["total"] for r in rows}
+        batch = eng.catalog.read("metrics").groupBy("site", "action") \
+                   .agg(F.sum("count").alias("total")).collect()
+        want = {(r["site"], r["action"]): r["total"] for r in batch}
+        assert got == want
+        assert any(a == "indexed" for (_, a) in got)
+
+
+class TestEmbeddings:
+    def test_encode_deterministic_and_cached(self, spark):
+        from meilisearchcrawler_spark.operators.embeddings import encode_documents
+
+        docs = spark.createDataFrame([
+            Row(id="a", title="T1", content="C1"),
+            Row(id="b", title="T2", content="C2"),
+            Row(id="c", title="T1", content="C1"),  # same text as a
+        ])
+        out = {r["id"]: r["vectors"] for r in encode_documents(docs, dim=16).collect()}
+        assert all(len(v) == 16 for v in out.values())
+        assert out["a"] == out["c"]  # deterministic (and LRU-hit) path
+        assert out["a"] != out["b"]
+        again = {r["id"]: r["vectors"] for r in encode_documents(docs, dim=16).collect()}
+        assert again == out
+        # unit norm
+        import math
+
+        assert abs(sum(x * x for x in out["a"]) - 1.0) < 1e-3
