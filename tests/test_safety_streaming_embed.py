@@ -108,3 +108,52 @@ class TestEmbeddings:
         import math
 
         assert abs(sum(x * x for x in out["a"]) - 1.0) < 1e-3
+
+
+class TestSearchPipeline:
+    def _sources(self, seed=11):
+        rng = random.Random(seed)
+        def mk(prefix, n, with_vec):
+            rows = []
+            for i in range(n):
+                vec = ([round(rng.uniform(-1, 1), 4) for _ in range(6)]
+                       if with_vec and i % 3 else None)
+                rows.append({
+                    "id": f"{prefix}{i}", "url": f"http://{prefix}.org/page{i}",
+                    "title": f"{prefix} title {i}",
+                    "excerpt": "an excerpt", "content": "body text",
+                    "score": round(rng.uniform(0.1, 1.0), 3),
+                    "vectors": vec, "rank": i})
+            return rows
+        meili = mk("meili", 10, True)
+        cse = mk("cse", 8, False)
+        # force a url collision: cse rank 0 duplicates meili rank 0
+        cse[0]["url"] = "http://WWW.meili.org/page0/"
+        wiki = mk("wiki", 6, True)
+        wiki[3]["id"] = wiki[0]["id"]  # wiki dup by id
+        return meili, cse, wiki
+
+    def _to_df(self, spark, rows):
+        schema = ("id string, url string, title string, excerpt string, "
+                  "content string, score double, vectors array<double>, rank int")
+        return spark.createDataFrame(rows, schema=schema)
+
+    def test_pipeline_matches_oracle(self, spark):
+        from meilisearchcrawler_spark.search.pipeline import (
+            search_pipeline, search_pipeline_oracle,
+        )
+
+        meili, cse, wiki = self._sources()
+        cfg = {"blocked_keywords": ["title 7"]}
+        q = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4]
+        for emb in (q, None):
+            got = search_pipeline(self._to_df(spark, meili), self._to_df(spark, cse),
+                                  self._to_df(spark, wiki), limit=8,
+                                  safety_cfg=cfg, query_embedding=emb).collect()
+            want = search_pipeline_oracle(meili, cse, wiki, limit=8,
+                                          safety_cfg=cfg, query_embedding=emb)
+            assert [g["id"] for g in got] == [w["id"] for w in want], f"emb={emb is not None}"
+            assert "vectors" not in got[0].asDict()
+            for g, w in zip(got, want):
+                import math
+                assert math.isclose(g["score"], w["score"], rel_tol=1e-6)
