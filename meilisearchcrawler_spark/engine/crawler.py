@@ -319,16 +319,26 @@ class CrawlEngine:
             return False
         frontier = frontier.filter(F.col("site").isin(active_sites))
 
-        popped = self._select_pops(frontier, budgets)
-        if popped is None:
-            for name in active_sites:
-                self.sites[name].active = False
-            return False
-        popped.persist()
+        # one Bloom broadcast per round, shared by admission and link
+        # dedup, released at the round barrier (at 4096 partitions the
+        # filter is GBs — leaking one copy per round would OOM the
+        # executors within an hour)
+        self._bloom_bc = self.spark.sparkContext.broadcast(
+            [p for p in self._bloom.parts])
         try:
-            return self._execute_round(popped, now)
+            popped = self._select_pops(frontier, budgets)
+            if popped is None:
+                for name in active_sites:
+                    self.sites[name].active = False
+                return False
+            popped.persist()
+            try:
+                return self._execute_round(popped, now)
+            finally:
+                popped.unpersist()
         finally:
-            popped.unpersist()
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
 
     # ---------------------------------------------------------- admission
 
@@ -378,8 +388,7 @@ class CrawlEngine:
     def _bloom_filter_hits(self, cand: DataFrame) -> DataFrame:
         """Rows whose url_hash might be in the visited Bloom — only
         these pay the exact anti-join shuffle."""
-        parts = self.spark.sparkContext.broadcast(
-            [p for p in self._bloom.parts])
+        parts = self._bloom_bc
         num_partitions = self._bloom.num_partitions
         bits = self._bloom.bits
         k = self._bloom.k
@@ -755,7 +764,7 @@ class CrawlEngine:
             links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
             probe = links.select("site", F.col("link_url"), "url_hash",
                                  "pos_in_round", "link_pos", "link_depth", "host")
-            parts = self.spark.sparkContext.broadcast([p for p in self._bloom.parts])
+            parts = self._bloom_bc
             num_partitions, bits, k = (self._bloom.num_partitions, self._bloom.bits,
                                        self._bloom.k)
 
