@@ -467,6 +467,23 @@ def q26_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"), 6).alias("coverage")))
 
 
+def _embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    return emb.unionByName(twins)
+
+
+def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH scale
+    path is tests/test_similarity_pairs.py). Twin vectors guarantee
+    true positives at cosine 1.0."""
+    from meilisearchcrawler_spark.operators.similarity import cosine_near_pairs_exact
+
+    return cosine_near_pairs_exact(_embeddings_with_twins(spark, sf_dir),
+                                   threshold=0.35)
+
+
 def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl engine end-to-end (rows-only check; its real oracle is
     the reference-semantics equivalence suite,
@@ -549,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_language_id": q24_language_id,
         "q25_fingerprint": q25_fingerprint,
         "q26_embedding_coverage": q26_embedding_coverage,
+        "q27_cosine_near_pairs": q27_cosine_near_pairs,
         # engine-level, non-SQL-expressible → rows-only driver check;
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
@@ -648,6 +666,24 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id LIMIT 10""",
         "q22_ann_lsh": _ann_sql(),
+        "q27_cosine_near_pairs": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(v, v)) END)) AS u
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cosine
+FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= 0.35""",
         "q26_embedding_coverage": """
 SELECT source, count(*) AS n_docs,
        sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_with_vectors,

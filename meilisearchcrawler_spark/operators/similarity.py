@@ -103,3 +103,63 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_near_pairs_exact(df: DataFrame, threshold: float = 0.9,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact form: normalized
+    self-join with ``id_a < id_b`` and cosine ≥ threshold. Correctness
+    baseline for small inputs and the DuckDB oracle twin; at corpus
+    scale use :func:`cosine_near_pairs_lsh`."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v))
+    unit = df.select(F.col(id_col),
+                     F.transform(v, lambda x: x / n).alias("_unit"))
+    a, b = unit.alias("a"), unit.alias("b")
+    cos = F.round(_dot(F.col("a._unit"), F.col("b._unit")), 6)
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def cosine_near_pairs_lsh(df: DataFrame, threshold: float = 0.9,
+                          nbits: int = 12, seed: int = 42,
+                          max_block_hamming: int = 2,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Scale path: hyperplane-LSH blocking then exact cosine on
+    candidates. Pairs at cosine ≥ t disagree on a hyperplane with
+    probability arccos(t)/π per bit, so near-dup pairs land within a
+    few Hamming bits; the block-permutation join (as in SimHash) finds
+    every pair within ``max_block_hamming`` bucket bits without an n²
+    cross join. Approximate by design — recall is tested, not assumed."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = make_hyperplanes(dim, nbits, seed)
+    bucketed = hyperplane_buckets(df, planes, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    n = F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v))
+    unit = bucketed.select(F.col(id_col), F.col("bucket"),
+                           F.transform(v, lambda x: x / n).alias("_unit"))
+    nblocks = max_block_hamming + 1
+    width = max(nbits // nblocks, 1)
+    blocks = [
+        F.struct(F.lit(bi).alias("block_id"),
+                 F.shiftrightunsigned(F.col("bucket"), bi * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"))
+        for bi in range(nblocks)
+    ]
+    blocked = unit.select(id_col, "_unit", "bucket",
+                          F.explode(F.array(*blocks)).alias("b")) \
+                  .select(id_col, "_unit", "bucket", "b.block_id", "b.block_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cos = F.round(_dot(F.col("a._unit"), F.col("b._unit")), 6)
+    return (a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
+                   & (F.col("a.block_val") == F.col("b.block_val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .distinct())
