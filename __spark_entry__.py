@@ -467,6 +467,22 @@ def q26_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"), 6).alias("coverage")))
 
 
+def q28_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (search stats, stats_db.py:225-412): per-source averages,
+    cache-hit ratio, last-hour volume — over the events stream as the
+    query-log analog (value ≈ processing_time_ms)."""
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    last_hour = F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    return (ev.groupBy("event_type").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("value"), 4).alias("avg_ms"),
+        F.round(F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+                / F.count("*"), 6).alias("cache_hit_rate"),
+        F.sum(last_hour.cast("int")).alias("n_last_hour"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("n_zero")))
+
+
 def _embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -567,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_fingerprint": q25_fingerprint,
         "q26_embedding_coverage": q26_embedding_coverage,
         "q27_cosine_near_pairs": q27_cosine_near_pairs,
+        "q28_search_stats": q28_search_stats,
         # engine-level, non-SQL-expressible → rows-only driver check;
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
@@ -666,6 +683,15 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id LIMIT 10""",
         "q22_ann_lsh": _ann_sql(),
+        "q28_search_stats": """
+SELECT event_type, count(*) AS n_queries,
+       round(avg(value), 4) AS avg_ms,
+       round(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS cache_hit_rate,
+       sum(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END) AS n_last_hour,
+       sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_zero
+FROM events GROUP BY event_type""",
         "q27_cosine_near_pairs": """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
