@@ -51,7 +51,7 @@ def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
 
 
 def crawl_throughput(spark: SparkSession, n_sites: int = 8,
-                     pages_per_site: int = 1500, round_budget: int = 100_000,
+                     pages_per_site: int = 3000, round_budget: int = 100_000,
                      host_budget: int | None = None,
                      shuffle_partitions: int | None = None) -> dict:
     """Full crawl over the bench web; returns pages/sec + composition."""
