@@ -317,8 +317,10 @@ def q25_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int, source_sql: str = "documents") -> str:
+    width = 32 // num_hashes
     mins = ", ".join(
-        f"min(md5('s{i}|' || shingle)) AS min_h{i}" for i in range(num_hashes))
+        f"min(substr(md5(shingle), {1 + i * width}, {width})) AS min_h{i}"
+        for i in range(num_hashes))
     return f"""
 WITH src AS (SELECT doc_id, text FROM {source_sql}),
 w AS (SELECT doc_id, string_split({_CANON_TEXT_SQL}, ' ') AS ws FROM src),
