@@ -75,16 +75,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct, order-free) built entirely
-    JVM-side: split → slide → concat."""
-    words = F.split(F.lower(F.regexp_replace(text, r"\s+", " ")), " ")
+def words_of(text: Column) -> Column:
+    return F.split(F.lower(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct, order-free). ``words`` MUST
+    be a materialized attribute (project it in a prior select): inside
+    a higher-order-function lambda Catalyst does not CSE the split, so
+    passing the raw split expression re-tokenizes the document once per
+    element access (measured 30× on the shingle explode)."""
     num = F.size(words) - F.lit(n - 1)
     idx = F.sequence(F.lit(0), num - F.lit(1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + F.lit(off + 1)) for off in range(n)])  # noqa: E731
     grams = F.array_distinct(F.transform(idx, gram))
     # sequence(0, -1) would *descend*; short docs get an empty set
     return F.when(num <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Convenience form over raw text — fine for single-use columns;
+    hot paths should pre-project :func:`words_of` (see above)."""
+    return shingles_from_words(words_of(text), n)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -103,10 +115,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     width = 32 // num_hashes
     if width < 4:
         raise ValueError("num_hashes > 8 needs the salted-hash variant")
-    ex = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select(F.col(id_col), F.md5(F.col("shingle")).alias("h"))
+    ex = (df.select(F.col(id_col), words_of(F.col(text_col)).alias("_w"))
+          .select(F.col(id_col),
+                  F.explode(shingles_from_words(F.col("_w"), shingle_n))
+                  .alias("shingle"))
+          .select(F.col(id_col), F.md5(F.col("shingle")).alias("h")))
     aggs = [
         F.min(F.substring(F.col("h"), 1 + i * width, width)).alias(f"min_h{i}")
         for i in range(num_hashes)
@@ -168,7 +181,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     stage). Joins each side's shingle array then computes
     |∩| / |∪| with ``array_intersect``/``array_union`` — fine while per-doc
     shingle sets fit a row (web pages: ≤3k chars ⇒ ≤600 shingles)."""
-    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    sets_ = (df.select(F.col(id_col), words_of(F.col(text_col)).alias("_w"))
+             .select(F.col(id_col),
+                     shingles_from_words(F.col("_w"), shingle_n).alias("sh")))
     out = (
         pairs
         .join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
