@@ -166,3 +166,41 @@ def test_queue_cap(spark, web, tmp_path):
         initial_url_seen=fx.url_seen)
     eng.run(max_rounds=300)
     _assert_equivalent(eng, oracle)
+
+
+def test_politeness_budget_guarantee(spark, web, tmp_path):
+    """Per-host politeness budgets (the RateLimiter replacement,
+    crawler.py:956-968 → CrawlConfig.host_budget): no host is fetched
+    more than ``host_budget`` times in any round — the actual
+    politeness contract — while deferred work is never dropped (the
+    crawl still completes, admits each URL at most once, and indexes a
+    comparable corpus). Deferral MAY legitimately reorder the crawl:
+    discovery depth depends on order and depth gates link expansion, so
+    exact-state equality vs the unconstrained oracle is not the spec."""
+    fx, paths = web
+    eng = CrawlEngine(
+        spark, str(tmp_path / "cat"), paths["pages"], fx.seeds, fx.robots,
+        CrawlConfig(round_budget=4, host_budget=2, shuffle_partitions=4),
+        initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=400)
+
+    log = eng.catalog.read("crawl_log").collect()
+    admitted = [r for r in log if r["action"] == "admitted"]
+    # (a) the budget holds in every round (each site is one host here)
+    per_round_host: dict[tuple, int] = {}
+    for r in admitted:
+        key = (r["round"], r["site"])
+        per_round_host[key] = per_round_host.get(key, 0) + 1
+    assert per_round_host, "no admissions at all"
+    assert max(per_round_host.values()) <= 2, \
+        f"politeness violated: {max(per_round_host.values())} fetches/host/round"
+    # (b) nothing admitted twice
+    urls = [(r["site"], r["url"]) for r in admitted]
+    assert len(urls) == len(set(urls)), "a URL was fetched twice"
+    # (c) deferral only delays — the crawl drains and indexes a corpus
+    # of the same scale as the unconstrained run
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=4) for s in fx.seeds}
+    docs_df = eng.documents()
+    n_docs = docs_df.count()
+    n_oracle = sum(len(o.documents) for o in oracle.values())
+    assert abs(n_docs - n_oracle) <= 0.1 * n_oracle, (n_docs, n_oracle)
