@@ -691,8 +691,8 @@ SELECT event_type, count(*) AS n_queries,
        round(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
          AS cache_hit_rate,
        sum(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
-                THEN 1 ELSE 0 END) AS n_last_hour,
-       sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_zero
+                THEN 1 ELSE 0 END)::BIGINT AS n_last_hour,
+       sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
 FROM events GROUP BY event_type""",
         "q27_cosine_near_pairs": """
 WITH base AS (
@@ -714,7 +714,7 @@ FROM unit a JOIN unit b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.u, b.u), 6) >= 0.35""",
         "q26_embedding_coverage": """
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_with_vectors,
+       sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_vectors,
        round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS coverage
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id

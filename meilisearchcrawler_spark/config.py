@@ -14,14 +14,12 @@ from dataclasses import dataclass, field
 # patterns applied to every site's URL admission (is_excluded,
 # crawler.py:484-487).
 GLOBAL_EXCLUDE_PATTERNS: list[str] = [
-    "/login",
-    "/logout",
-    "/admin",
-    "/wp-admin",
-    "/wp-login",
-    "?replytocom=",
-    "/feed/",
-    "/tag/",
+    # Generic
+    "/login", "/logout", "/signin", "/signup", "/register",
+    "/cart", "/checkout", "/account", "/share", "/print", "/cdn-cgi/",
+    # WordPress
+    "/wp-admin/", "/wp-json/", "/wp-login.php", "/wp-cron.php",
+    "xmlrpc.php", "?rest_route=", "?preview=", "/feed/",
 ]
 
 # Reference: ignored extensions at pop time, crawler.py:1168-1173.

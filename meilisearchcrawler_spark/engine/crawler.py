@@ -59,7 +59,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from ..config import MIN_CONTENT_LEN, CrawlConfig
+from ..config import DEFAULT_LANG, MIN_CONTENT_LEN, CrawlConfig
 from ..fixtures.webgen import T0
 from ..functions import html as H
 from ..functions import text as T
@@ -136,7 +136,11 @@ def _make_fetch_udf(store_path: str, site_configs: dict[str, dict]):
                     rec.update(fetch_status=0)
                     out.append(rec)
                     continue
-                final_url = normalize_url(page["redirect_to"] or row.url)
+                # raw response URL, not normalized — the reference uses
+                # str(response.url) for doc_id/urljoin/cache key
+                # (crawler.py:1010,1022-1041); only the frontier/seen-set
+                # key is normalized
+                final_url = page["redirect_to"] or row.url
                 parsed = H.parse_page(page["html"], final_url, cfg["seed_url"],
                                       cfg.get("selector"))
                 content = T.clean_text(parsed.content_raw)
@@ -149,7 +153,9 @@ def _make_fetch_udf(store_path: str, site_configs: dict[str, dict]):
                     etag=page.get("etag"), last_modified=page.get("last_modified"),
                     title=parsed.title, content=content, excerpt=excerpt,
                     images_json=json.dumps(parsed.images, sort_keys=True),
-                    lang=T.sniff_lang(parsed.lang_attr, cfg.get("lang", "fr")),
+                    # the reference HTML path hardcodes the 'fr' default
+                    # regardless of site config (crawler.py:1040-1043)
+                    lang=T.sniff_lang(parsed.lang_attr, DEFAULT_LANG),
                     content_hash=content_hash,
                     doc_id=generate_doc_id(final_url),
                     no_index=int(is_excluded(final_url, cfg["no_index"])),
@@ -607,9 +613,15 @@ class CrawlEngine:
             stage("refreshes", refreshes)
 
             # ---- visited additions: every batch member + ext-skips
-            # (crawler.py:1168-1173, 1185-1187) ----
+            # (crawler.py:1168-1173, 1185-1187). Pop-time precedence is
+            # visited → excluded → extension (crawler.py:1163-1173): an
+            # excluded URL `continue`s BEFORE the extension check, so a
+            # URL that is both excluded and extension-suffixed is never
+            # marked visited (it may be re-pushed on rediscovery).
+            marks_visited = F.col("admissible") | (
+                F.col("f_ext") & ~F.col("f_visited") & ~F.col("f_excluded"))
             new_visited = (
-                popped.filter(F.col("admissible") | F.col("f_ext"))
+                popped.filter(marks_visited)
                 .select("site", "url", "url_hash")
                 .withColumn("round", F.lit(rno)))
             stage("visited", new_visited.select("site", "url", "round"))
@@ -753,9 +765,13 @@ class CrawlEngine:
         wfirst = Window.partitionBy("site", "link_url").orderBy("pos_in_round", "link_pos")
         links = (links.withColumn("_rn", F.row_number().over(wfirst))
                  .filter(F.col("_rn") == 1).drop("_rn"))
-        # vs this round's batch (visited ∪ in_progress during collect)
+        # vs this round's batch (visited ∪ in_progress during collect);
+        # excluded+extension pops never enter visited (reference
+        # precedence, crawler.py:1163-1173) so links to them re-push
         links = links.join(
-            popped.filter(F.col("admissible") | F.col("f_ext"))
+            popped.filter(F.col("admissible")
+                          | (F.col("f_ext") & ~F.col("f_visited")
+                             & ~F.col("f_excluded")))
             .select("site", F.col("url").alias("link_url")),
             ["site", "link_url"], "left_anti")
         # vs historical visited (Bloom prefilter → exact anti-join)

@@ -149,6 +149,10 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             special[f"/p{pages_per_site - 10}"] = "etag304"
             special[f"/p{pages_per_site - 11}"] = "cache_fresh"
             special[f"/p{pages_per_site - 12}"] = "cache_stale"
+            # redirect whose raw response URL keeps a trailing slash —
+            # doc_id/urljoin use the RAW url (crawler.py:1010), only the
+            # frontier key is normalized
+            special[f"/p{pages_per_site - 13}"] = "redirect_slash"
 
         # rename pages that must match URL-pattern filters
         renamed = {}
@@ -177,6 +181,9 @@ def generate_web(seed: int = 42, n_sites: int = 3,
                 f"{base}/login?next={pi}",                   # excluded (global)
                 f"{base}/files/f{pi}.pdf",                   # extension skip
                 f"{base}/img/pic{pi}.JPG",                   # extension skip
+                f"{base}/private/doc{pi}.pdf",               # excluded AND ext:
+                                                             # exclusion wins, never
+                                                             # marked visited
                 "http://elsewhere.example.org/x",            # off-domain
                 "ftp://site.example.com/x",                   # invalid scheme
                 "http://localhost/x",                        # invalid host
@@ -241,6 +248,8 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             elif kind == "redirect":
                 target = base + paths[1]
                 row["redirect_to"] = target
+            elif kind == "redirect_slash":
+                row["redirect_to"] = base + paths[2] + "/"
             pages.append(row)
 
         # redirect rows serve the *target's* html (aiohttp follows

@@ -36,14 +36,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_scores(df: DataFrame, query_vec: list[float],
-                  vec_col: str = "embedding", penalty: float = 0.1) -> DataFrame:
-    """Cosine vs a literal query vector; rows with a null vector get
-    score 0 then ×penalty — reranker.py:70-76 semantics."""
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine vs a literal query vector; rows with a null vector score
+    0.0. (The reference's ×0.1 missing-vector *penalty on the original
+    keyword score*, reranker.py:70-76, needs that score column — it
+    lives in :func:`meilisearchcrawler_spark.search.rerank.rerank`.)"""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
     v = F.col(vec_col).cast("array<double>")
     cos = _dot(v, q) / (F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v)) * F.lit(qn))
-    score = F.when(F.col(vec_col).isNull(), F.lit(0.0) * F.lit(penalty)).otherwise(cos)
+    score = F.when(F.col(vec_col).isNull(), F.lit(0.0)).otherwise(cos)
     return df.withColumn("score", F.round(score, 6))
 
 
@@ -129,14 +131,19 @@ def cosine_near_pairs_lsh(df: DataFrame, threshold: float = 0.9,
                           nbits: int = 12, seed: int = 42,
                           max_block_hamming: int = 2,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          dim: int | None = None) -> DataFrame:
     """Scale path: hyperplane-LSH blocking then exact cosine on
     candidates. Pairs at cosine ≥ t disagree on a hyperplane with
     probability arccos(t)/π per bit, so near-dup pairs land within a
     few Hamming bits; the block-permutation join (as in SimHash) finds
     every pair within ``max_block_hamming`` bucket bits without an n²
-    cross join. Approximate by design — recall is tested, not assumed."""
-    dim = len(df.select(vec_col).first()[0])
+    cross join. Approximate by design — recall is tested, not assumed.
+
+    Pass ``dim`` explicitly in production plans; the ``first()`` sniff
+    is a convenience fallback that triggers an extra job."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, nbits, seed)
     bucketed = hyperplane_buckets(df, planes, vec_col)
     v = F.col(vec_col).cast("array<double>")

@@ -186,7 +186,9 @@ def _fetch(pages: dict[str, dict], url: str, cached: dict | None):
         return (url, None, {"status": 304, "etag": None, "last_modified": None})
     if "text/html" not in page["content_type"].lower():
         return (url, None, {"status": "skipped_content_type"})
-    final_url = normalize_url(page["redirect_to"]) if page.get("redirect_to") else url
+    # raw response URL (str(response.url), crawler.py:1010) — NOT
+    # normalized; doc_id/urljoin/cache key all use the raw form
+    final_url = page["redirect_to"] if page.get("redirect_to") else url
     return (final_url, page["html"],
             {"status": 200, "etag": page.get("etag"),
              "last_modified": page.get("last_modified")})
@@ -232,7 +234,9 @@ def _process_page(pages, url, depth, now, res, stats, processed_hashes,
     doc = None
     if should_index and len(content) >= MIN_CONTENT_LEN:
         processed_hashes.add(content_hash)
-        lang = T.sniff_lang(parsed.lang_attr, site.get("lang", "fr"))
+        # reference hardcodes the 'fr' fallback on the HTML path
+        # (crawler.py:1040-1043), ignoring the site-config lang
+        lang = T.sniff_lang(parsed.lang_attr, "fr")
         doc = {
             "id": doc_id, "site": site["site"], "url": final_url,
             "title": title, "excerpt": excerpt, "content": content,
