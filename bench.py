@@ -67,6 +67,84 @@ def main() -> None:
     except Exception as exc:  # engine still under construction
         print(f"# crawl bench skipped: {exc}", file=sys.stderr)
 
+    # frontier pop-selection at production frontier sizes: two-phase
+    # top-K must stay ~flat as the frontier grows 10x (the verdict's
+    # 100x-scale gate). Synthetic frontier, 4 sites, shuffled depths.
+    pop_scale = None
+    try:
+        from pyspark.sql import functions as F
+
+        from meilisearchcrawler_spark.engine.crawler import candidate_prefix
+
+        def _synth_frontier(n: int):
+            return (spark.range(n)
+                    .select(F.concat(F.lit("site"), (F.col("id") % 4))
+                            .alias("site"),
+                            F.concat(F.lit("http://h/p"), F.col("id"))
+                            .alias("url"),
+                            F.concat(F.lit("h"), (F.col("id") % 97))
+                            .alias("host"),
+                            (F.xxhash64("id") % 5).cast("int").alias("depth"),
+                            F.col("id").alias("counter"))
+                    .repartition(int(cpus)))
+
+        pop_scale = {}
+        for n in (1_000_000, 10_000_000):
+            fr = _synth_frontier(n)
+            fr.persist().count()          # isolate selection cost from gen
+            candidate_prefix(fr, prefix_k=80).count()   # codegen warm-up
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                candidate_prefix(fr, prefix_k=80).count()
+                ts.append(time.perf_counter() - t0)
+            pop_scale[f"rows_{n:.0e}".replace("+0", "")] = round(sorted(ts)[1], 3)
+            fr.unpersist()
+        vals = list(pop_scale.values())
+        pop_scale["growth_10x"] = round(vals[1] / max(vals[0], 1e-9), 2)
+        print(f"# frontier_pop scale: {pop_scale}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# frontier pop bench skipped: {exc}", file=sys.stderr)
+
+    # Bloom maintenance at production round sizes: executor-side bitmap
+    # deltas mean the driver receives ≤P bounded blobs per round no
+    # matter how many URLs were visited — this probe shows the
+    # delta-build wall time and the fixed driver payload at 10^6 and
+    # 10^7 visited URLs/round.
+    bloom_scale = None
+    try:
+        import pandas as pd_  # noqa: N813
+        from pyspark.sql import functions as F
+
+        from meilisearchcrawler_spark.engine.bloom import bitmap_delta
+
+        P, bits, k = 64, 1 << 17, 7
+
+        def build_delta(key, pdf):
+            return pd_.DataFrame([{
+                "pid": int(key[0]),
+                "bits": bitmap_delta(pdf["url_hash"].to_numpy(), bits, k)
+                .tobytes()}])
+
+        bloom_scale = {}
+        for n in (1_000_000, 10_000_000):
+            hashes = (spark.range(n)
+                      .select(F.xxhash64("id").alias("url_hash"))
+                      .select(F.pmod(F.col("url_hash"), F.lit(P))
+                              .cast("int").alias("pid"), "url_hash"))
+            hashes.persist().count()
+            t0 = time.perf_counter()
+            rows = (hashes.groupBy("pid")
+                    .applyInPandas(build_delta, schema="pid int, bits binary")
+                    .collect())
+            bloom_scale[f"rows_{n:.0e}".replace("+0", "")] = round(
+                time.perf_counter() - t0, 3)
+            bloom_scale["driver_bytes"] = sum(len(r["bits"]) for r in rows)
+            hashes.unpersist()
+        print(f"# bloom_delta scale: {bloom_scale}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# bloom delta bench skipped: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -77,6 +155,10 @@ def main() -> None:
     }
     if crawl:
         out["crawl_pages_per_sec"] = crawl["pages_per_sec"]
+    if pop_scale:
+        out["frontier_pop_scale"] = pop_scale
+    if bloom_scale:
+        out["bloom_delta_scale"] = bloom_scale
     print(json.dumps(out))
     spark.stop()
 

@@ -15,7 +15,8 @@ One round is the distributed form of one reference batch iteration
       → link explode + dedup + counter assignment  (insertion-order equivalence)
       → atomic catalog commit                      (frontier Δ, url_seen Δ,
                                                     documents Δ, visited Δ,
-                                                    metrics, Bloom blobs, state)
+                                                    metrics, bloom_parts Δ,
+                                                    state)
 
 Ordering equivalence with the reference heap (SURVEY.md §7 hard part 1):
 the heap pop order is ``(-depth, counter)`` with insertion-order
@@ -68,11 +69,11 @@ from ..functions.urls import (
     generate_doc_id,
     has_ignored_extension_col,
     is_excluded,
-    is_excluded_col,
+    is_excluded_arr,
     normalize_url,
     url_hash_col,
 )
-from .bloom import PartitionedBloom
+from .bloom import PartitionedBloom, bitmap_delta, check_hashes
 from .catalog import CheckpointCatalog
 from .pagestore import load_store
 
@@ -101,13 +102,68 @@ FETCH_SCHEMA = StructType([
 IMAGES_SCHEMA = "array<struct<url:string,alt:string,description:string>>"
 
 
-def _make_fetch_udf(store_path: str, site_configs: dict[str, dict]):
+def local_topk(frontier: DataFrame, prefix_k: int) -> DataFrame:
+    """Phase 1 of the two-phase top-K: per-Spark-partition, per-site
+    top-``prefix_k`` rows by (depth desc, counter asc). No shuffle —
+    the frontier streams through an Arrow kernel that holds at most K
+    rows per site per partition, so a 10^10-row frontier never funnels
+    through one reducer. Each batch is first pruned against the running
+    per-site K-th threshold (vectorized merge), so only contenders pay
+    the sort."""
+    cols = list(frontier.columns)
+
+    def topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if best is not None and len(pdf):
+                kth = (best.groupby("site", sort=False)
+                       .agg(_n=("counter", "size"), _td=("depth", "min"))
+                       .reset_index())
+                wk = best.groupby("site", sort=False).tail(1) \
+                         .rename(columns={"counter": "_tc"})[["site", "_tc"]]
+                m = pdf[["site", "depth", "counter"]].merge(
+                    kth.merge(wk, on="site"), on="site", how="left")
+                keep = (m["_n"].isna() | (m["_n"] < prefix_k)
+                        | (m["depth"] > m["_td"])
+                        | ((m["depth"] == m["_td"])
+                           & (m["counter"] < m["_tc"]))).to_numpy()
+                pdf = pdf[keep]
+                if not len(pdf):
+                    continue
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(["site", "depth", "counter"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            best = cur.groupby("site", sort=False).head(prefix_k)
+        if best is not None and len(best):
+            yield best[cols]
+
+    return frontier.mapInPandas(topk, schema=frontier.schema)
+
+
+def candidate_prefix(frontier: DataFrame, prefix_k: int) -> DataFrame:
+    """Two-phase per-site top-``prefix_k`` prefix of the frontier in
+    heap order (depth desc, counter asc), with ``_rank``. The global
+    window (phase 2) only sees the union of per-partition prefixes —
+    ≤ partitions × K rows per site — so the per-site sort cost is flat
+    in total frontier size (replaces the full per-site row_number sort
+    that was the 100×-scale bottleneck); what remains is one
+    embarrassingly-parallel frontier scan."""
+    w = Window.partitionBy("site").orderBy(F.desc("depth"), F.asc("counter"))
+    return (local_topk(frontier, prefix_k)
+            .withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= prefix_k))
+
+
+def _make_fetch_udf(store_path: str, site_cfg_bc):
     """Fetch + parse kernel (crawler.py:971-1077 per-page semantics) as
     an Arrow-batched ``mapInPandas`` body. Per-URL failures become
-    ``fetch_status=-1`` rows, never task failures."""
+    ``fetch_status=-1`` rows, never task failures. Site config arrives
+    via a Spark broadcast, not closure capture."""
 
     def fetch_parse(batches):
         store = load_store(store_path)
+        site_configs = site_cfg_bc.value
         for pdf in batches:
             out: list[dict] = []
             for row in pdf.itertuples(index=False):
@@ -198,9 +254,28 @@ class CrawlEngine:
             }
             for name, s in self.seeds.items()
         }
-        self._fetch_udf = _make_fetch_udf(pages_path, self.site_configs)
+        # site config rides a broadcast variable into the fetch UDF (at
+        # 10^4 sites a closure-captured dict re-serializes per task)
+        self._site_cfg_bc = spark.sparkContext.broadcast(self.site_configs)
+        self._fetch_udf = _make_fetch_udf(pages_path, self._site_cfg_bc)
+        # J3/J4: per-site exclusions and per-host robots rules as
+        # broadcast dimension tables — admission plans stay O(1) in
+        # site/host count instead of one when-branch per site
+        self._sites_dim = spark.createDataFrame(
+            [{"site": name, "_exclude": list(cfg["exclude"])}
+             for name, cfg in self.site_configs.items()],
+            schema="site string, _exclude array<string>")
+        self._robots_dim = spark.createDataFrame(
+            [{"host": host,
+              "_rob_disallow": list(rob.get("disallow") or []),
+              "_rob_allow_all": bool(rob.get("fetch_fails"))}
+             for host, rob in self.robots.items()],
+            schema=("host string, _rob_disallow array<string>, "
+                    "_rob_allow_all boolean")) if self.robots else None
         self._bloom = PartitionedBloom(self.cfg.bloom_num_partitions,
                                        bits_per_partition=1 << 17)
+        self._bloom_bc = None
+        self._bloom_table: DataFrame | None = None
         self._initial_url_seen = initial_url_seen or []
         self._restore_or_init()
 
@@ -211,9 +286,7 @@ class CrawlEngine:
         if state.get("sites"):
             self.round_no = int(state["round"])
             self.sites = {k: SiteState(**v) for k, v in state["sites"].items()}
-            blob_dir = self.catalog.blob_dir("bloom")
-            self._bloom = PartitionedBloom.load(
-                blob_dir, self.cfg.bloom_num_partitions, 1 << 17)
+            self._load_bloom_from_table()
             return
         self.round_no = 0
         self.sites = {name: SiteState(url_counter=1) for name in self.seeds}
@@ -235,6 +308,36 @@ class CrawlEngine:
                         "site string, round int"))
             staged["url_seen_log"] = [self.catalog.stage("url_seen_log", seen0, 0)]
         self.catalog.commit_round(-1, staged, self._state_dict())
+
+    def _load_bloom_from_table(self) -> None:
+        """Broadcast mode resume: rebuild the driver copy from the
+        committed ``bloom_parts`` table (cogroup mode reads the table
+        directly and keeps nothing on the driver)."""
+        if self.cfg.bloom_probe_mode != "broadcast":
+            return
+        latest = self._bloom_latest()
+        if latest is None:
+            return
+        for r in latest.select("pid", "bits").collect():
+            self._bloom.parts[int(r["pid"])] = np.frombuffer(
+                r["bits"], dtype=np.uint8).copy()
+
+    def _bloom_latest(self) -> DataFrame | None:
+        """Latest committed bitmap per partition id (latest-wins view of
+        the append-only bloom_parts log, like url_seen)."""
+        log = self.catalog.read("bloom_parts")
+        if log is None:
+            return None
+        w = Window.partitionBy("pid").orderBy(F.desc("round"))
+        return (log.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _counter_base_df(self) -> DataFrame:
+        """Per-site running URL counter as a broadcast dimension (the
+        round-varying analog of the site config tables)."""
+        return self.spark.createDataFrame(
+            [(name, st.url_counter) for name, st in self.sites.items()],
+            schema="site string, _base long")
 
     def _state_dict(self) -> dict:
         return {
@@ -325,12 +428,18 @@ class CrawlEngine:
             return False
         frontier = frontier.filter(F.col("site").isin(active_sites))
 
-        # one Bloom broadcast per round, shared by admission and link
-        # dedup, released at the round barrier (at 4096 partitions the
-        # filter is GBs — leaking one copy per round would OOM the
-        # executors within an hour)
-        self._bloom_bc = self.spark.sparkContext.broadcast(
-            [p for p in self._bloom.parts])
+        # broadcast mode: one Bloom broadcast per round, shared by
+        # admission and link dedup, released at the round barrier
+        # (leaking one copy per round would OOM the executors).
+        # cogroup mode: the filter never leaves the bloom_parts table —
+        # one latest-wins view per round feeds the cogrouped probes.
+        if self.cfg.bloom_probe_mode == "broadcast":
+            self._bloom_bc = self.spark.sparkContext.broadcast(
+                [p for p in self._bloom.parts])
+            self._bloom_table = None
+        else:
+            self._bloom_bc = None
+            self._bloom_table = self._bloom_latest()
         try:
             popped = self._select_pops(frontier, budgets)
             if popped is None:
@@ -343,8 +452,10 @@ class CrawlEngine:
             finally:
                 popped.unpersist()
         finally:
-            self._bloom_bc.destroy()
+            if self._bloom_bc is not None:
+                self._bloom_bc.destroy()
             self._bloom_bc = None
+            self._bloom_table = None
 
     # ---------------------------------------------------------- admission
 
@@ -352,33 +463,37 @@ class CrawlEngine:
         """F1-F7 pop-time admission chain (crawler.py:1157-1178), as
         columns. Order of precedence matches the reference's
         if/continue chain: visited-dup → excluded → extension → robots."""
-        # excluded: per-site pattern alternation (broadcast-size config)
-        excl = F.lit(False)
-        for name, cfg in self.site_configs.items():
-            excl = F.when(F.col("site") == name,
-                          is_excluded_col(F.col("url"), cfg["exclude"])).otherwise(excl)
-        cand = cand.withColumn("f_excluded", excl)
+        # excluded (F3): broadcast-joined site dimension — substring
+        # containment via exists/contains, plan size O(1) in site count
+        cand = (cand.join(F.broadcast(self._sites_dim), "site", "left")
+                .withColumn("f_excluded",
+                            is_excluded_arr(F.col("url"), F.col("_exclude")))
+                .drop("_exclude"))
         cand = cand.withColumn("f_ext", has_ignored_extension_col(F.col("url")))
-        # robots: fixture prefix rules; failed robots fetch ⇒ allow_all
-        denied = F.lit(False)
-        for host, rob in self.robots.items():
-            if rob.get("fetch_fails"):
-                continue
-            prefixes = rob.get("disallow") or []
-            if not prefixes:
-                continue
-            import re as _re
-
-            alternation = "|".join(_re.escape(p) for p in prefixes)
-            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-            denied = F.when(F.col("host") == host,
-                            path.rlike(rf"^(?:{alternation})")).otherwise(denied)
-        cand = cand.withColumn("f_robots_denied", denied)
+        # robots (F5): broadcast-joined host dimension; fixture prefix
+        # rules evaluated JVM-side; failed robots fetch ⇒ allow_all
+        # (crawler.py:425-429). Unknown host ⇒ allow.
+        if self._robots_dim is not None:
+            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")),
+                              F.lit("/"))
+            denied = F.coalesce(
+                ~F.col("_rob_allow_all")
+                & F.coalesce(F.exists(F.col("_rob_disallow"),
+                                      lambda p: path.startswith(p)),
+                             F.lit(False)),
+                F.lit(False))
+            cand = (cand.join(F.broadcast(self._robots_dim), "host", "left")
+                    .withColumn("f_robots_denied", denied)
+                    .drop("_rob_disallow", "_rob_allow_all"))
+        else:
+            cand = cand.withColumn("f_robots_denied", F.lit(False))
         # visited dup (F1): Bloom prefilter → exact anti-join
         visited = self.catalog.read("visited")
         cand = cand.withColumn("url_hash", url_hash_col(F.col("url")))
         if visited is not None:
-            maybe = self._bloom_filter_hits(cand)
+            probed = self._bloom_split(
+                cand.select("site", "counter", "url", "url_hash"))
+            maybe = probed.filter(F.col("_maybe"))
             hit = (maybe.join(visited.select("site", "url").distinct(),
                               ["site", "url"], "left_semi")
                    .select("site", "counter").withColumn("f_visited", F.lit(True)))
@@ -391,38 +506,74 @@ class CrawlEngine:
             ~F.col("f_visited") & ~F.col("f_excluded") & ~F.col("f_ext")
             & ~F.col("f_robots_denied"))
 
-    def _bloom_filter_hits(self, cand: DataFrame) -> DataFrame:
-        """Rows whose url_hash might be in the visited Bloom — only
-        these pay the exact anti-join shuffle."""
-        parts = self._bloom_bc
-        num_partitions = self._bloom.num_partitions
-        bits = self._bloom.bits
-        k = self._bloom.k
+    def _bloom_split(self, df: DataFrame) -> DataFrame:
+        """Adds boolean ``_maybe``: True iff the row's ``url_hash``
+        might be in the visited Bloom. Definite negatives (the vast
+        majority of discovered links) skip the exact anti-join shuffle.
 
-        def probe(batches):
-            bloom = PartitionedBloom(num_partitions, bits, k)
-            bloom.parts = parts.value
-            for pdf in batches:
-                if len(pdf):
-                    mask = bloom.might_contain(pdf["url_hash"].to_numpy())
-                    pdf = pdf[mask]
-                yield pdf
+        broadcast mode probes executor-side against the per-round
+        broadcast of the bitmaps; cogroup mode never materializes the
+        filter whole anywhere — probe rows cogroup with the committed
+        ``bloom_parts`` table on partition id (the 4096-partition
+        production shape, where the full filter is GBs and must not
+        transit the driver)."""
+        P, bits, k = (self._bloom.num_partitions, self._bloom.bits,
+                      self._bloom.k)
+        out_schema = StructType(list(df.schema.fields)
+                                + [StructField("_maybe", BooleanType())])
+        if self._bloom_bc is not None:
+            parts = self._bloom_bc
 
-        schema = cand.select("site", "counter", "url", "url_hash").schema
-        return cand.select("site", "counter", "url", "url_hash") \
-                   .mapInPandas(probe, schema=schema)
+            def probe(batches):
+                bloom = PartitionedBloom(P, bits, k)
+                bloom.parts = parts.value
+                for pdf in batches:
+                    if len(pdf):
+                        yield pdf.assign(
+                            _maybe=bloom.might_contain(
+                                pdf["url_hash"].to_numpy()))
+                    else:
+                        yield pdf.assign(_maybe=pd.Series(dtype=bool))
+
+            return df.mapInPandas(probe, schema=out_schema)
+        if self._bloom_table is None:
+            return df.withColumn("_maybe", F.lit(False))
+        cols = list(df.columns)
+
+        def check_fn(key, pdf, bdf):
+            pdf = pdf[cols]
+            if not len(pdf):
+                return pdf.assign(_maybe=pd.Series(dtype=bool))
+            if not len(bdf):
+                return pdf.assign(_maybe=False)
+            part = np.frombuffer(bdf.iloc[0]["bits"], dtype=np.uint8)
+            return pdf.assign(_maybe=check_hashes(
+                pdf["url_hash"].to_numpy(), part, bits, k))
+
+        probe = df.withColumn(
+            "_pid", F.pmod(F.col("url_hash"), F.lit(P)).cast("int"))
+        return (probe.groupBy("_pid")
+                .cogroup(self._bloom_table.select("pid", "bits").groupBy("pid"))
+                .applyInPandas(check_fn, schema=out_schema))
 
     def _select_pops(self, frontier: DataFrame,
                      budgets: dict[str, int]) -> DataFrame | None:
         """Pop cutoff with candidate-prefix escalation. Returns the
         popped rows with admission flags + pos_in_round, or None when
-        the frontier is empty for every active site."""
+        the frontier is empty for every active site.
+
+        The candidate prefix is computed as a two-phase top-K (local
+        per-partition prefixes → global window on their union), so the
+        per-site sort never sees the whole frontier."""
         order = [F.desc("depth"), F.asc("counter")]
         prefix_k = max(budgets.values()) * 8 + 64
+        # per-round per-site budgets as a broadcast dimension (plan size
+        # O(1) in site count; the values change every round, so they are
+        # data, not plan literals)
+        budget_df = self.spark.createDataFrame(
+            list(budgets.items()), schema="site string, _budget int")
         while True:
-            w = Window.partitionBy("site").orderBy(*order)
-            prefix = (frontier.withColumn("_rank", F.row_number().over(w))
-                      .filter(F.col("_rank") <= prefix_k))
+            prefix = candidate_prefix(frontier, prefix_k)
             cand = self._admission_flags(prefix)
             if self.cfg.host_budget is not None:
                 # politeness: over-budget rows stay in the frontier
@@ -431,9 +582,8 @@ class CrawlEngine:
                                         F.sum(F.col("admissible").cast("int")).over(wh))
                         .filter(~F.col("admissible")
                                 | (F.col("_hrank") <= self.cfg.host_budget)))
-            budget = F.lit(0)
-            for name, b in budgets.items():
-                budget = F.when(F.col("site") == name, F.lit(b)).otherwise(budget)
+            cand = cand.join(F.broadcast(budget_df), "site", "left")
+            budget = F.coalesce(F.col("_budget"), F.lit(0))
             wsum = Window.partitionBy("site").orderBy(*order)
             cand = cand.withColumn(
                 "_adm_run", F.sum(F.col("admissible").cast("int")).over(wsum))
@@ -443,7 +593,8 @@ class CrawlEngine:
             cand = cand.persist()
             popped = cand.filter(
                 F.when(F.col("admissible"), F.col("_adm_run") <= budget)
-                .otherwise(F.col("_adm_run") < budget)).withColumn(
+                .otherwise(F.col("_adm_run") < budget)).drop("_budget") \
+                .withColumn(
                 "pos_in_round",
                 F.when(F.col("admissible"),
                        F.row_number().over(
@@ -636,17 +787,16 @@ class CrawlEngine:
                         F.posexplode("links").alias("link_pos", "link_url")))
             new_links = self._dedup_links(links, popped)
 
-            # counter assignment in insertion order (crawler.py:1206-1207)
+            # counter assignment in insertion order (crawler.py:1206-1207);
+            # per-site counter bases join in as broadcast data (O(1) plan)
             wcnt = Window.partitionBy("site").orderBy("pos_in_round", "link_pos")
             new_links = new_links.withColumn("_idx", F.row_number().over(wcnt) - 1)
-            base = F.lit(0)
-            for name, st in self.sites.items():
-                base = F.when(F.col("site") == name,
-                              F.lit(st.url_counter)).otherwise(base)
-            adds = new_links.select(
-                "site", F.col("link_url").alias("url"),
-                F.col("host"), F.col("link_depth").alias("depth"),
-                (base + F.col("_idx")).cast("long").alias("counter"))
+            adds = (new_links.join(F.broadcast(self._counter_base_df()),
+                                   "site", "left")
+                    .select("site", F.col("link_url").alias("url"),
+                            F.col("host"), F.col("link_depth").alias("depth"),
+                            (F.coalesce(F.col("_base"), F.lit(0))
+                             + F.col("_idx")).cast("long").alias("counter")))
             if cfg.max_queue_size is not None:
                 adds = self._apply_queue_cap(adds, new_links, popped)
             adds = adds.persist()
@@ -696,17 +846,70 @@ class CrawlEngine:
                        .withColumn("round", F.lit(rno)))
             stage("lineage", lineage)
 
-            # ---- driver state + bloom update ----
+            # ---- executor-side Bloom deltas (never collect url_hashes:
+            # at 10^6-10^7 visited/round that collect is a driver choke
+            # point; the per-partition bitmap deltas are bounded by
+            # P × bits/8 regardless of row count) ----
+            bits, k = self._bloom.bits, self._bloom.k
+            P = self._bloom.num_partitions
+
+            def build_delta(key, pdf):
+                return pd.DataFrame([{
+                    "pid": int(key[0]),
+                    "bits": bitmap_delta(pdf["url_hash"].to_numpy(), bits, k)
+                    .tobytes()}])
+
+            delta_df = (new_visited
+                        .select(F.pmod(F.col("url_hash"), F.lit(P))
+                                .cast("int").alias("pid"), "url_hash")
+                        .groupBy("pid")
+                        .applyInPandas(build_delta, schema="pid int, bits binary"))
+            if self.cfg.bloom_probe_mode == "broadcast":
+                # driver holds the (small) filter: OR the ≤P bounded
+                # deltas in and stage full replacement rows
+                delta_rows = delta_df.collect()
+                if delta_rows:
+                    for r in delta_rows:
+                        self._bloom.or_delta(r["pid"], r["bits"])
+                    stage("bloom_parts", self.spark.createDataFrame(
+                        [(int(r["pid"]),
+                          bytearray(self._bloom.parts[int(r["pid"])].tobytes()),
+                          rno) for r in delta_rows],
+                        schema="pid int, bits binary, round int"))
+            else:
+                # table mode: merge executor-side (broadcast join on the
+                # ≤P-row parts view); no bitmap ever reaches the driver
+                prev = self._bloom_table
+                if prev is not None:
+                    joined = (delta_df.alias("d")
+                              .join(F.broadcast(prev.select(
+                                  "pid", F.col("bits").alias("pbits"))),
+                                  "pid", "left"))
+
+                    def or_fn(batches):
+                        for pdf in batches:
+                            out = []
+                            for row in pdf.itertuples(index=False):
+                                d = np.frombuffer(row.bits, dtype=np.uint8)
+                                if row.pbits is not None:
+                                    d = d | np.frombuffer(row.pbits,
+                                                          dtype=np.uint8)
+                                out.append({"pid": row.pid,
+                                            "bits": d.tobytes()})
+                            yield pd.DataFrame(out, columns=["pid", "bits"])
+
+                    merged = joined.mapInPandas(or_fn,
+                                                schema="pid int, bits binary")
+                else:
+                    merged = delta_df
+                stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
+
+            # ---- driver state ----
             per_site_fetch = {}
             for row in metrics_rows:
                 per_site_fetch.setdefault(row["site"], {})[row["action"]] = row["count"]
             new_link_counts = {s: a.get("pushed", 0)
                                for s, a in per_site_fetch.items()}
-            visited_hashes = [r["url_hash"] for r in
-                              new_visited.select("url_hash").collect()]
-            if visited_hashes:
-                touched = self._bloom.add_hashes(np.array(visited_hashes, dtype=np.int64))
-                self._bloom.save_partitions(self.catalog.blob_dir("bloom"), touched)
 
             any_pop = False
             for name, st in self.sites.items():
@@ -753,6 +956,9 @@ class CrawlEngine:
             self.catalog.compact(
                 "content_hashes",
                 hashes.groupBy("site", "content_hash").agg(F.min("round").alias("round")))
+        bloom = self._bloom_latest()
+        if bloom is not None:
+            self.catalog.compact("bloom_parts", bloom)
 
     def _dedup_links(self, links: DataFrame, popped: DataFrame) -> DataFrame:
         """Push-time dedup (crawler.py:1205): drop links already visited
@@ -778,26 +984,7 @@ class CrawlEngine:
         visited = self.catalog.read("visited")
         if visited is not None:
             links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
-            probe = links.select("site", F.col("link_url"), "url_hash",
-                                 "pos_in_round", "link_pos", "link_depth", "host")
-            parts = self._bloom_bc
-            num_partitions, bits, k = (self._bloom.num_partitions, self._bloom.bits,
-                                       self._bloom.k)
-
-            def split_probe(batches):
-                bloom = PartitionedBloom(num_partitions, bits, k)
-                bloom.parts = parts.value
-                for pdf in batches:
-                    if len(pdf):
-                        mask = bloom.might_contain(pdf["url_hash"].to_numpy())
-                        pdf = pdf.assign(_maybe=mask)
-                    else:
-                        pdf = pdf.assign(_maybe=pd.Series(dtype=bool))
-                    yield pdf
-
-            schema = StructType(list(probe.schema.fields)
-                                + [StructField("_maybe", BooleanType())])
-            probed = probe.mapInPandas(split_probe, schema=schema)
+            probed = self._bloom_split(links)
             clean = probed.filter(~F.col("_maybe")).drop("_maybe", "url_hash")
             maybe = (probed.filter(F.col("_maybe")).drop("_maybe", "url_hash")
                      .join(visited.select("site", F.col("url").alias("link_url")).distinct(),
@@ -846,13 +1033,11 @@ class CrawlEngine:
         kept = new_links.join(allow_df, ["site", "pos_in_round"], "left_semi")
         wcnt = Window.partitionBy("site").orderBy("pos_in_round", "link_pos")
         kept = kept.withColumn("_idx", F.row_number().over(wcnt) - 1)
-        base = F.lit(0)
-        for name, st in self.sites.items():
-            base = F.when(F.col("site") == name, F.lit(st.url_counter)).otherwise(base)
-        return kept.select(
-            "site", F.col("link_url").alias("url"), "host",
-            F.col("link_depth").alias("depth"),
-            (base + F.col("_idx")).cast("long").alias("counter"))
+        return (kept.join(F.broadcast(self._counter_base_df()), "site", "left")
+                .select("site", F.col("link_url").alias("url"), "host",
+                        F.col("link_depth").alias("depth"),
+                        (F.coalesce(F.col("_base"), F.lit(0))
+                         + F.col("_idx")).cast("long").alias("counter")))
 
 
 def _host_of(url: str) -> str:

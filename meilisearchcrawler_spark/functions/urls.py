@@ -157,6 +157,16 @@ def is_excluded_col(url: Column, patterns: list[str]) -> Column:
     return url.rlike(alternation)
 
 
+def is_excluded_arr(url: Column, patterns: Column) -> Column:
+    """F3 over a *column* of patterns (the dimension-table form used by
+    the broadcast-joined site config, J3): substring containment
+    against each array element; null/empty array ⇒ False. Stays
+    JVM-side (``exists`` + ``contains``) and keeps the plan O(1) in
+    site count."""
+    return F.coalesce(F.exists(patterns, lambda p: url.contains(p)),
+                      F.lit(False))
+
+
 def has_ignored_extension_col(url: Column) -> Column:
     """F4 as an anchored case-insensitive regex."""
     alternation = "|".join(ext.lstrip(".") for ext in IGNORED_EXTENSIONS)

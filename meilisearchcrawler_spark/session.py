@@ -39,10 +39,16 @@ def ship_package(spark: SparkSession) -> None:
 
 
 def get_spark(master: str | None = None, shuffle_partitions: int = 32,
-              app_name: str = "meilisearchcrawler-spark") -> SparkSession:
-    """Engine-default session: AQE on, Arrow on, sane shuffle width."""
+              app_name: str = "meilisearchcrawler-spark",
+              driver_memory: str = "16g") -> SparkSession:
+    """Engine-default session: AQE on, Arrow on, sane shuffle width.
+
+    ``driver_memory`` only takes effect when this call creates the JVM
+    (local mode runs executors inside the driver JVM; the 1g default
+    OOMs on 10^7-row shuffles long before the box's RAM is used)."""
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_memory)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

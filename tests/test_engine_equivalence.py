@@ -168,6 +168,24 @@ def test_queue_cap(spark, web, tmp_path):
     _assert_equivalent(eng, oracle)
 
 
+def test_cogroup_bloom_mode(spark, web, tmp_path):
+    """bloom_probe_mode='cogroup' — the production probe shape where
+    the visited filter lives only in the bloom_parts table (no driver
+    copy, no whole-filter broadcast) — must stay exact-match, including
+    across a kill-resume (the bloom state rides the manifest commit)."""
+    fx, paths = web
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=3) for s in fx.seeds}
+    root = tmp_path / "cat"
+    cfg = CrawlConfig(round_budget=3, shuffle_partitions=4,
+                      bloom_probe_mode="cogroup")
+    eng1 = CrawlEngine(spark, str(root), paths["pages"], fx.seeds, fx.robots,
+                       cfg, initial_url_seen=fx.url_seen)
+    eng1.run(max_rounds=5)
+    eng2 = CrawlEngine(spark, str(root), paths["pages"], fx.seeds, fx.robots, cfg)
+    eng2.run(max_rounds=300)
+    _assert_equivalent(eng2, oracle)
+
+
 def test_politeness_budget_guarantee(spark, web, tmp_path):
     """Per-host politeness budgets (the RateLimiter replacement,
     crawler.py:956-968 → CrawlConfig.host_budget): no host is fetched
