@@ -183,7 +183,18 @@ def _make_fetch_udf(store_path: str, site_cfg_bc):
                     out.append(rec)  # error after retries (crawler.py:995-1001)
                     continue
                 cached_etag = row.cached_etag if isinstance(row.cached_etag, str) else None
-                if cached_etag and page.get("etag") and cached_etag == page["etag"]:
+                cached_lm = (row.cached_last_modified
+                             if isinstance(row.cached_last_modified, str) else None)
+                # If-None-Match + If-Modified-Since (crawler.py:975-979):
+                # ETag decides alone when both sides have one; otherwise
+                # a matching Last-Modified 304s
+                not_modified = False
+                if cached_etag and page.get("etag"):
+                    not_modified = cached_etag == page["etag"]
+                elif (cached_lm and page.get("last_modified")
+                      and cached_lm == page["last_modified"]):
+                    not_modified = True
+                if not_modified:
                     rec.update(fetch_status=304,
                                doc_id=generate_doc_id(row.url))
                     out.append(rec)
@@ -646,16 +657,22 @@ class CrawlEngine:
         if url_seen is not None:
             admitted = admitted.join(
                 url_seen.select(F.col("url"),
-                                F.col("etag").alias("cached_etag")),
+                                F.col("etag").alias("cached_etag"),
+                                F.col("last_modified")
+                                .alias("cached_last_modified")),
                 "url", "left")
         else:
-            admitted = admitted.withColumn("cached_etag", F.lit(None).cast("string"))
+            admitted = (admitted
+                        .withColumn("cached_etag", F.lit(None).cast("string"))
+                        .withColumn("cached_last_modified",
+                                    F.lit(None).cast("string")))
 
         # salted host-hash repartition → fetch UDF (hot-host skew guard)
         salt = (F.col("counter") % F.lit(max(cfg.host_partition_rows, 1))).cast("long")
         fetched = (
             admitted.select("site", "url", "host", "depth", "counter",
-                            "pos_in_round", "cached_etag")
+                            "pos_in_round", "cached_etag",
+                            "cached_last_modified")
             .repartition(cfg.shuffle_partitions, F.xxhash64(F.col("host"), salt))
             .mapInPandas(self._fetch_udf, schema=FETCH_SCHEMA)
         )
@@ -713,19 +730,28 @@ class CrawlEngine:
                              .filter(F.col("_fi_rn") == 1)
                              .select("site", "final_url",
                                      F.col("pos_in_round").alias("_first_pos"),
-                                     F.col("etag").alias("_stored_etag")))
-            # 304 only when the stored ETag (from the indexing fetch —
-            # a redirect stores the *redirect row's* ETag) matches the
-            # page's current ETag, mirroring fetch_page's
-            # If-None-Match round-trip (crawler.py:974-984)
+                                     F.col("etag").alias("_stored_etag"),
+                                     F.col("last_modified").alias("_stored_lm")))
+            # 304 when the just-stored validators (from the indexing
+            # fetch — a redirect stores the *redirect row's* headers)
+            # match the page's current ones, mirroring fetch_page's
+            # If-None-Match / If-Modified-Since round-trip
+            # (crawler.py:974-984): ETag decides alone when both sides
+            # have one; otherwise matching Last-Modified 304s
+            validators_match = F.when(
+                F.col("_stored_etag").isNotNull() & F.col("etag").isNotNull(),
+                F.col("_stored_etag") == F.col("etag")
+            ).otherwise(
+                F.col("_stored_lm").isNotNull()
+                & F.col("last_modified").isNotNull()
+                & (F.col("_stored_lm") == F.col("last_modified")))
             intra304 = (
                 ok.join(first_indexed
                         .select("site", F.col("final_url").alias("url"),
-                                "_first_pos", "_stored_etag"),
+                                "_first_pos", "_stored_etag", "_stored_lm"),
                         ["site", "url"])
                 .filter((F.col("_first_pos") < F.col("pos_in_round"))
-                        & F.col("etag").isNotNull()
-                        & (F.col("_stored_etag") == F.col("etag")))
+                        & validators_match)
                 .select("site", "url", "pos_in_round",
                         F.md5(F.col("url")).alias("refresh_id")))
             intra304.persist()

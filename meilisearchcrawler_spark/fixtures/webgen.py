@@ -153,6 +153,11 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             # doc_id/urljoin use the RAW url (crawler.py:1010), only the
             # frontier key is normalized
             special[f"/p{pages_per_site - 13}"] = "redirect_slash"
+            # Last-Modified-only conditional GET (crawler.py:975-979):
+            # no ETag on either side, the If-Modified-Since round-trip
+            # alone must produce the 304 / refetch decision
+            special[f"/p{pages_per_site - 14}"] = "lm304"
+            special[f"/p{pages_per_site - 15}"] = "lm_changed"
 
         # rename pages that must match URL-pattern filters
         renamed = {}
@@ -250,6 +255,11 @@ def generate_web(seed: int = 42, n_sites: int = 3,
                 row["redirect_to"] = target
             elif kind == "redirect_slash":
                 row["redirect_to"] = base + paths[2] + "/"
+            elif kind == "lm304":
+                row["etag"] = None
+            elif kind == "lm_changed":
+                row["etag"] = None
+                row["last_modified"] = "Tue, 02 Jan 2024 00:00:00 GMT"
             pages.append(row)
 
         # redirect rows serve the *target's* html (aiohttp follows
@@ -290,6 +300,24 @@ def generate_web(seed: int = 42, n_sites: int = 3,
                     "url": url, "content_hash": _doc_hash(page),
                     "doc_id": "prev", "last_crawl": T0 - 20 * 86400,
                     "etag": None, "last_modified": None, "site": site["site"],
+                })
+            elif kind == "lm304":
+                # matching Last-Modified, no ETag anywhere → 304 purely
+                # via If-Modified-Since
+                url_seen.append({
+                    "url": url, "content_hash": "stale-hash-irrelevant",
+                    "doc_id": "prev", "last_crawl": T0 - 5 * 86400,
+                    "etag": None, "last_modified": page["last_modified"],
+                    "site": site["site"],
+                })
+            elif kind == "lm_changed":
+                # cached Last-Modified older than the page's → full 200
+                url_seen.append({
+                    "url": url, "content_hash": "stale-hash-irrelevant",
+                    "doc_id": "prev", "last_crawl": T0 - 5 * 86400,
+                    "etag": None,
+                    "last_modified": "Mon, 01 Jan 2024 00:00:00 GMT",
+                    "site": site["site"],
                 })
 
     return WebFixture(seeds=seeds, pages=pages, robots=robots,

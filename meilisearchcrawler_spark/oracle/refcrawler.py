@@ -181,8 +181,18 @@ def _fetch(pages: dict[str, dict], url: str, cached: dict | None):
     page = pages.get(url)
     if page is None or page["status"] in (404, 500):
         return None  # retries exhausted → error
-    if (cached and cached.get("etag") and page.get("etag")
-            and cached["etag"] == page["etag"]):
+    # conditional GET (crawler.py:974-984): If-None-Match when a cached
+    # ETag exists, If-Modified-Since when a cached Last-Modified exists.
+    # Server-side validator precedence: when both sides have an ETag it
+    # alone decides; otherwise matching Last-Modified values 304.
+    not_modified = False
+    if cached:
+        if cached.get("etag") and page.get("etag"):
+            not_modified = cached["etag"] == page["etag"]
+        elif (cached.get("last_modified") and page.get("last_modified")
+              and cached["last_modified"] == page["last_modified"]):
+            not_modified = True
+    if not_modified:
         return (url, None, {"status": 304, "etag": None, "last_modified": None})
     if "text/html" not in page["content_type"].lower():
         return (url, None, {"status": "skipped_content_type"})
