@@ -485,6 +485,71 @@ def q28_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("n_zero")))
 
 
+_HYBRID_TERMS = ["spark", "window", "vector", "merge"]
+
+
+def q29_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+semantic search — the reference's flagship search
+    mode (Hybrid(semantic_ratio=0.5), meilisearch_client.py:110-125):
+    BM25 over the text corpus blended 0.5/0.5 with cosine vs the query
+    embedding (vec_id 0)."""
+    from meilisearchcrawler_spark.search.hybrid import hybrid_topk
+
+    return hybrid_topk(_t(spark, sf_dir, "documents"),
+                       _t(spark, sf_dir, "embeddings"),
+                       _HYBRID_TERMS, _query_vec(spark, sf_dir), k=20)
+
+
+def _hybrid_sql(k: int = 20, ratio: float = 0.5) -> str:
+    from meilisearchcrawler_spark.search.hybrid import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+terms AS (SELECT doc_id, dl, unnest(t) AS term FROM dl),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM terms
+       WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+kw AS (
+  SELECT doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * tf * {BM25_K1 + 1.0}
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)))
+           AS kw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+),
+kmax AS (SELECT max(kw) AS kmax FROM kw),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT d.doc_id, coalesce(k.kw, 0) AS kw, e.embedding::DOUBLE[] AS ev
+  FROM documents d LEFT JOIN kw k USING (doc_id)
+  LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN kmax IS NULL OR kmax = 0 THEN 0.0
+              ELSE b.kw / kmax END AS kwn,
+         CASE WHEN b.ev IS NULL THEN 0.0 ELSE
+           list_dot_product(b.ev, q.v) /
+           ((CASE WHEN sqrt(list_dot_product(b.ev, b.ev)) = 0 THEN 1.0
+                  ELSE sqrt(list_dot_product(b.ev, b.ev)) END)
+            * sqrt(list_dot_product(q.v, q.v)))
+         END AS sem
+  FROM base b CROSS JOIN kmax CROSS JOIN qv q
+)
+SELECT doc_id, round(kwn, 6) AS keyword_score,
+       round(sem, 6) AS semantic_score,
+       round({1.0 - ratio} * kwn + {ratio} * sem, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -586,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_coverage": q26_embedding_coverage,
         "q27_cosine_near_pairs": q27_cosine_near_pairs,
         "q28_search_stats": q28_search_stats,
+        "q29_hybrid_search": q29_hybrid_search,
         # engine-level, non-SQL-expressible → rows-only driver check;
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
@@ -719,6 +785,7 @@ SELECT source, count(*) AS n_docs,
              / count(*), 6) AS coverage
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY source""",
+        "q29_hybrid_search": _hybrid_sql(),
         "q23_text_quality": _quality_sql(),
         "q24_language_id": _langid_sql(),
         "q25_fingerprint": f"""

@@ -188,3 +188,53 @@ class TestMergeRerank:
         assert [g["url"] for g in got] == [w["url"] for w in want]
         for g, w in zip(got, want):
             assert math.isclose(g["score"], w["score"], rel_tol=1e-6)
+
+
+class TestHybridSearch:
+    """Hybrid keyword+semantic blend (meilisearch_client.py:110-125) —
+    Spark DataFrame form vs the sequential oracle implementation."""
+
+    def _corpus(self):
+        rng = random.Random(13)
+        vocab = ("spark frontier fetch crawl index window vector merge "
+                 "table batch row agg").split()
+        docs = [{"doc_id": i,
+                 "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))}
+                for i in range(60)]
+        embeddings = {i: [round(rng.uniform(-1, 1), 4) for _ in range(8)]
+                      for i in range(60) if i % 3}  # a third lack vectors
+        return docs, embeddings
+
+    def test_hybrid_matches_oracle(self, spark):
+        from meilisearchcrawler_spark.search.hybrid import (
+            hybrid_oracle, hybrid_topk)
+
+        docs, embeddings = self._corpus()
+        qterms = ["spark", "vector", "merge"]
+        qvec = [0.5, -0.25, 0.1, 0.9, -0.3, 0.0, 0.7, -0.8]
+        docs_df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        emb_df = spark.createDataFrame(
+            [{"vec_id": i, "embedding": v} for i, v in embeddings.items()],
+            schema="vec_id long, embedding array<double>")
+        got = hybrid_topk(docs_df, emb_df, qterms, qvec, k=15).collect()
+        want = hybrid_oracle(docs, embeddings, qterms, qvec, k=15)
+        assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+        for g, w in zip(got, want):
+            for c in ("keyword_score", "semantic_score", "score"):
+                assert math.isclose(g[c], w[c], abs_tol=2e-6), (g, w, c)
+
+    def test_keyword_only_and_semantic_only_extremes(self, spark):
+        from meilisearchcrawler_spark.search.hybrid import hybrid_topk
+
+        docs, embeddings = self._corpus()
+        docs_df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        emb_df = spark.createDataFrame(
+            [{"vec_id": i, "embedding": v} for i, v in embeddings.items()],
+            schema="vec_id long, embedding array<double>")
+        qvec = [1.0] + [0.0] * 7
+        kw_only = hybrid_topk(docs_df, emb_df, ["spark"], qvec,
+                              semantic_ratio=0.0, k=5).collect()
+        assert all(r["score"] == r["keyword_score"] for r in kw_only)
+        sem_only = hybrid_topk(docs_df, emb_df, ["spark"], qvec,
+                               semantic_ratio=1.0, k=5).collect()
+        assert all(r["score"] == r["semantic_score"] for r in sem_only)
