@@ -567,6 +567,19 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.35)
 
 
+def q30_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup (hyperplane-LSH blocking,
+    no n² join) certified against the exact-form oracle: at threshold
+    0.9 the only qualifying pairs are the injected twins (cosine 1.0),
+    whose identical unit vectors share every bucket bit — so LSH recall
+    is exactly 1.0 by construction, and the bucketed plan must
+    hash-match the brute-force SQL."""
+    from meilisearchcrawler_spark.operators.similarity import cosine_near_pairs_lsh
+
+    return cosine_near_pairs_lsh(_embeddings_with_twins(spark, sf_dir),
+                                 threshold=0.9, dim=64)
+
+
 def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl engine end-to-end (rows-only check; its real oracle is
     the reference-semantics equivalence suite,
@@ -652,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_cosine_near_pairs": q27_cosine_near_pairs,
         "q28_search_stats": q28_search_stats,
         "q29_hybrid_search": q29_hybrid_search,
+        "q30_cosine_near_pairs_lsh": q30_cosine_near_pairs_lsh,
         # engine-level, non-SQL-expressible → rows-only driver check;
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
@@ -760,6 +774,24 @@ SELECT event_type, count(*) AS n_queries,
                 THEN 1 ELSE 0 END)::BIGINT AS n_last_hour,
        sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
 FROM events GROUP BY event_type""",
+        "q30_cosine_near_pairs_lsh": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(v, v)) END)) AS u
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cosine
+FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= 0.9""",
         "q27_cosine_near_pairs": """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
