@@ -76,9 +76,13 @@ def _mp_work(n: int) -> int:
                         "lang": "fr", "max_depth": 3, "no_index": [],
                         "exclude": [], "max_pages": 0}
             for s in fx.seeds}
-    udf = _make_fetch_udf(paths["pages"], cfgs)
+    class _Bc:  # stand-in for the Spark broadcast handle
+        value = cfgs
+
+    udf = _make_fetch_udf(paths["pages"], _Bc())
     rows = [{"site": p["site"], "url": p["url"], "host": p["host"], "depth": 1,
-             "counter": i, "pos_in_round": 0, "cached_etag": None}
+             "counter": i, "pos_in_round": 0, "cached_etag": None,
+             "cached_last_modified": None}
             for i, p in enumerate(fx.pages[:3200])]
     pdf = pd.DataFrame(rows)
     done = 0

@@ -108,7 +108,8 @@ def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
     }
     from pyspark.sql.window import Window
 
-    udf = _make_fetch_udf(paths["pages"], site_configs)
+    udf = _make_fetch_udf(paths["pages"],
+                          spark.sparkContext.broadcast(site_configs))
     pages = (spark.read.parquet(paths["pages"]).select("site", "url", "host")
              .withColumn("pidx",
                          F.row_number().over(Window.orderBy("url")) - 1))
@@ -125,7 +126,8 @@ def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
                 F.lit(1).alias("depth"),
                 F.col("id").alias("counter"),
                 F.lit(0).alias("pos_in_round"),
-                F.lit(None).cast("string").alias("cached_etag"))
+                F.lit(None).cast("string").alias("cached_etag"),
+                F.lit(None).cast("string").alias("cached_last_modified"))
     )
     t0 = time.perf_counter()
     n = admitted.mapInPandas(udf, schema=FETCH_SCHEMA) \

@@ -632,11 +632,28 @@ class CrawlEngine:
 
     def _execute_round(self, popped: DataFrame, now: float) -> bool:
         cfg = self.cfg
-        staged: dict[str, list[str]] = {}
         rno = self.round_no
+        # staging is deferred and written through a thread pool at the
+        # round barrier: ~10 small table writes per round each carry
+        # fixed job overhead, and every parent frame is persisted and
+        # already materialized by the metrics collect, so the parallel
+        # writes only read cache — wall time ≈ max, not sum (the main
+        # driver of small-round orchestration cost)
+        pending: list[tuple[str, DataFrame]] = []
 
         def stage(table: str, df: DataFrame):
-            staged.setdefault(table, []).append(self.catalog.stage(table, df, rno))
+            pending.append((table, df))
+
+        def _flush_stages() -> dict[str, list[str]]:
+            from concurrent.futures import ThreadPoolExecutor
+
+            staged: dict[str, list[str]] = {}
+            with ThreadPoolExecutor(max_workers=min(len(pending), 8)) as ex:
+                futures = [(t, ex.submit(self.catalog.stage, t, df, rno))
+                           for t, df in pending]
+                for t, fut in futures:
+                    staged.setdefault(t, []).append(fut.result())
+            return staged
 
         # crawl_log: the ordering-equivalence artifact (FIXTURES.md §7)
         log_action = (
@@ -812,6 +829,10 @@ class CrawlEngine:
                         (F.col("depth") + 1).alias("link_depth"),
                         F.posexplode("links").alias("link_pos", "link_url")))
             new_links = self._dedup_links(links, popped)
+            if cfg.max_queue_size is not None:
+                # the cap path evaluates new_links twice (per-page
+                # rollup + kept rows) — cache the dedup subtree
+                new_links = new_links.persist()
 
             # counter assignment in insertion order (crawler.py:1206-1207);
             # per-site counter bases join in as broadcast data (O(1) plan)
@@ -862,10 +883,6 @@ class CrawlEngine:
                        .unionByName(idx_counts).unionByName(cache_skip_counts)
                        .unionByName(pushed_counts)
                        .withColumn("round", F.lit(rno)))
-            metrics_rows = metrics.collect()
-            stage("metrics", self.spark.createDataFrame(
-                metrics_rows, schema="site string, action string, count long, round int")
-                if metrics_rows else metrics)
             lineage = (fetched.groupBy("site", F.spark_partition_id().alias("partition_id"))
                        .agg(F.count("*").alias("n_rows"),
                             F.sum(F.length(F.coalesce("content", F.lit("")))).alias("bytes_content"))
@@ -891,9 +908,15 @@ class CrawlEngine:
                         .groupBy("pid")
                         .applyInPandas(build_delta, schema="pid int, bits binary"))
             if self.cfg.bloom_probe_mode == "broadcast":
-                # driver holds the (small) filter: OR the ≤P bounded
-                # deltas in and stage full replacement rows
-                delta_rows = delta_df.collect()
+                # the two round-barrier collects (metrics rollup, bloom
+                # deltas) are independent — overlap their job overhead
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fut_m = ex.submit(metrics.collect)
+                    fut_d = ex.submit(delta_df.collect)
+                    metrics_rows = fut_m.result()
+                    delta_rows = fut_d.result()
                 if delta_rows:
                     for r in delta_rows:
                         self._bloom.or_delta(r["pid"], r["bits"])
@@ -929,6 +952,11 @@ class CrawlEngine:
                 else:
                     merged = delta_df
                 stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
+                metrics_rows = metrics.collect()
+
+            stage("metrics", self.spark.createDataFrame(
+                metrics_rows, schema="site string, action string, count long, round int")
+                if metrics_rows else metrics)
 
             # ---- driver state ----
             per_site_fetch = {}
@@ -948,11 +976,13 @@ class CrawlEngine:
                     any_pop = True
 
             self.round_no += 1
-            self.catalog.commit_round(rno, staged, self._state_dict())
+            self.catalog.commit_round(rno, _flush_stages(), self._state_dict())
             indexed.unpersist()
             intra304.unpersist()
             ok.unpersist()
             adds.unpersist()
+            if cfg.max_queue_size is not None:
+                new_links.unpersist()
             if self.cfg.compact_every and self.round_no % self.cfg.compact_every == 0:
                 self._compact()
             return any_pop
@@ -1034,14 +1064,24 @@ class CrawlEngine:
         pushed only if the frontier is under the cap at that page's
         turn. Sequential recurrence over per-page counts — tiny
         driver-side array, only when a cap is configured."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cap = self.cfg.max_queue_size
         live = self._live_frontier()
-        popped_n = {r["site"]: r["n"] for r in
-                    popped.groupBy("site").agg(F.count("*").alias("n")).collect()}
-        live_n = {r["site"]: r["n"] for r in
-                  live.groupBy("site").agg(F.count("*").alias("n")).collect()} if live is not None else {}
-        per_page = (new_links.groupBy("site", "pos_in_round")
-                    .agg(F.count("*").alias("n")).collect())
+        # three independent tiny rollups — overlap their job overhead
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fut_pop = ex.submit(
+                popped.groupBy("site").agg(F.count("*").alias("n")).collect)
+            fut_live = (ex.submit(
+                live.groupBy("site").agg(F.count("*").alias("n")).collect)
+                if live is not None else None)
+            fut_pp = ex.submit(
+                new_links.groupBy("site", "pos_in_round")
+                .agg(F.count("*").alias("n")).collect)
+            popped_n = {r["site"]: r["n"] for r in fut_pop.result()}
+            live_n = ({r["site"]: r["n"] for r in fut_live.result()}
+                      if fut_live is not None else {})
+            per_page = fut_pp.result()
         by_site: dict[str, list] = {}
         for r in sorted(per_page, key=lambda r: (r["site"], r["pos_in_round"])):
             by_site.setdefault(r["site"], []).append((r["pos_in_round"], r["n"]))
