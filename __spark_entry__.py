@@ -628,6 +628,33 @@ def q91_image_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("phash_hamming").alias("max_phash_hamming")))
 
 
+def q92_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary columns (rows-only
+    check; exact numpy oracles live in tests/test_multimodal.py).
+    Ignores sf_dir — input is the deterministic media fixture."""
+    from meilisearchcrawler_spark.fixtures.mediagen import generate_media
+    from meilisearchcrawler_spark.operators.multimodal import audio_features
+
+    audio, _ = generate_media(n_audio=40, n_video=0)
+    df = spark.createDataFrame(
+        audio, schema=("media_id string, bytes binary, fmt string, "
+                       "sample_rate int, n_channels int, duration_ms int"))
+    return audio_features(df)
+
+
+def q93_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over opaque binary columns (rows-only
+    check; exact oracles in tests/test_multimodal.py)."""
+    from meilisearchcrawler_spark.fixtures.mediagen import generate_media
+    from meilisearchcrawler_spark.operators.multimodal import frame_sample
+
+    _, video = generate_media(n_audio=0, n_video=20)
+    df = spark.createDataFrame(
+        video, schema=("media_id string, bytes binary, fmt string, "
+                       "w int, h int, fps double, n_frames int"))
+    return frame_sample(df, every_n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke check)."""
     ship_package(spark)
@@ -670,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact oracles live in tests/ (equivalence suite, image suite)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
         "q91_image_decode_invariants": q91_image_decode_invariants,
+        "q92_multimodal_audio": q92_multimodal_audio,
+        "q93_multimodal_frames": q93_multimodal_frames,
     }
 
 

@@ -67,6 +67,19 @@ def main() -> None:
     except Exception as exc:  # engine still under construction
         print(f"# crawl bench skipped: {exc}", file=sys.stderr)
 
+    # the BASELINE metric is fetched-and-indexed *image* URLs/sec —
+    # report the image decode+verify stage rate alongside the crawl
+    image = None
+    try:
+        from meilisearchcrawler_spark.engine.bench_crawl import (
+            image_stage_throughput,
+        )
+        image = image_stage_throughput(spark, n_images=30_000)
+        timings["image_stage"] = image["sec"]
+        print(f"# image_stage: {image}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# image bench skipped: {exc}", file=sys.stderr)
+
     # frontier pop-selection at production frontier sizes: two-phase
     # top-K must stay ~flat as the frontier grows 10x (the verdict's
     # 100x-scale gate). Synthetic frontier, 4 sites, shuffled depths.
@@ -155,6 +168,8 @@ def main() -> None:
     }
     if crawl:
         out["crawl_pages_per_sec"] = crawl["pages_per_sec"]
+    if image:
+        out["image_urls_per_sec"] = image["images_per_sec"]
     if pop_scale:
         out["frontier_pop_scale"] = pop_scale
     if bloom_scale:

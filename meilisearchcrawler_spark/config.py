@@ -71,7 +71,13 @@ class CrawlConfig:
     host_budget: int | None = None
     max_pages: int = 0                 # 0 = unlimited (crawler.py:1082)
     max_depth: int = DEFAULT_MAX_DEPTH
-    max_rounds: int | None = None      # stand-in for MAX_CRAWL_DURATION
+    max_rounds: int | None = None      # direct round cap (tests/benches)
+    # MAX_CRAWL_DURATION (crawler.py:108, loop check 1138-1143) on the
+    # LOGICAL clock: a run() stops before a round once
+    # rounds_this_run × round_seconds exceeds the cap — the reference
+    # knob expressed deterministically (wall-clock would break
+    # bit-identical resume).
+    max_crawl_duration: float | None = None
     max_queue_size: int | None = None
     cache_days: float = CACHE_DAYS
     force_recrawl: bool = False

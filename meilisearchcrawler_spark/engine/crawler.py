@@ -399,12 +399,19 @@ class CrawlEngine:
     # ------------------------------------------------------------------ round
 
     def run(self, max_rounds: int | None = None) -> int:
-        """Run rounds until every site is done (or the cap); returns the
-        number of rounds executed."""
+        """Run rounds until every site is done (or a cap); returns the
+        number of rounds executed. The duration cap is the reference's
+        MAX_CRAWL_DURATION loop check (crawler.py:1138-1143) on the
+        logical clock: stop before a round once this run's elapsed
+        logical time exceeds the budget."""
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        duration = self.cfg.max_crawl_duration
         executed = 0
         while any(s.active for s in self.sites.values()):
             if cap is not None and executed >= cap:
+                break
+            if (duration is not None
+                    and executed * self.cfg.round_seconds > duration):
                 break
             progressed = self.run_round()
             executed += 1

@@ -84,6 +84,11 @@ def _page_html(rng: random.Random, *, title_mode: str, container: str,
         body = f"<article>{inner}</article>"
     elif container == "content_div":
         body = f'<div id="content">{inner}</div>'
+    elif container == "nested_div":
+        # nested same-tag elements: extraction must find the MATCHING
+        # close, not the first one (generic-HTML shape, crawler.py:520-561)
+        body = (f'<div id="content"><div class="wrap"><div>{inner}</div>'
+                f"<div>aside box</div></div></div>")
     else:
         body = inner
     lang = f' lang="{lang_attr}"' if lang_attr else ""
@@ -226,7 +231,8 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             title_mode = rng.choice(["og+title", "og", "title", "h1", "none"])
             container = (
                 "content_div" if selector else
-                rng.choice(["main", "article", "content_div", "plain"])
+                rng.choice(["main", "article", "content_div", "plain",
+                            "nested_div"])
             )
             lang_attr = rng.choice(["fr-FR", "en-US", "en", None])
             html = _page_html(rng, title_mode=title_mode, container=container,

@@ -8,13 +8,18 @@ link discovery (crawler.py:1066-1072) and the ``<html lang>`` sniff
 by ``fixtures/webgen.py``.
 
 The container has neither BeautifulSoup/lxml nor trafilatura, so this
-is a regex parser over a dialect we fully control: every element the
-fixtures emit is non-self-nesting (no ``<div>`` inside ``<div>``),
-attributes are double-quoted, and tags are lowercase. The oracle
+is a hand-rolled parser: tag tokens are found by regex, but element
+extents are resolved by a depth-counting matcher (``_element_span``),
+so arbitrarily nested same-tag elements (``<div>`` in ``<div>``,
+``<nav>`` in ``<nav>``) extract correctly — the generic-HTML shape the
+reference gets from BeautifulSoup (crawler.py:520-561). Attributes are
+assumed double-quoted and tags lowercase (the fixture dialect; real
+crawls would add an attribute normalizer in front). The oracle
 (``oracle/refcrawler.py``) calls these same kernels, so engine↔oracle
-extraction equality is by construction; the equivalence suite then
-tests the *scheduling* semantics (ordering, seen-set, politeness),
-which is the algorithmic content of the north rule.
+extraction equality is by construction; extraction *truth* is pinned
+by direct unit tests over handcrafted nested documents, and the
+equivalence suite tests the scheduling semantics (ordering, seen-set,
+politeness), which is the algorithmic content of the north rule.
 """
 
 from __future__ import annotations
@@ -36,10 +41,13 @@ _A_HREF = re.compile(r'<a\s[^>]*href="([^"]*)"', re.IGNORECASE)
 _IMG = re.compile(r"<img\s([^>]*)/?>", re.IGNORECASE)
 _ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
 # Reference decomposes these before text extraction (crawler.py:552-556).
-_STRIP_BLOCKS = re.compile(
-    r"<(nav|header|footer|aside|form|script|style|iframe)\b[^>]*>.*?</\1>",
-    re.IGNORECASE | re.DOTALL,
-)
+_STRIP_TAGS = ("nav", "header", "footer", "aside", "form", "script",
+               "style", "iframe")
+_STRIP_OPEN = re.compile(
+    rf"<({'|'.join(_STRIP_TAGS)})\b[^>]*>", re.IGNORECASE)
+# Elements that never close — a nested matcher must not count them.
+_VOID_TAGS = frozenset(
+    "img br meta link input hr area base col embed source track wbr".split())
 # Candidate selectors, in reference priority order (crawler.py:538-540);
 # restricted to the shapes the fixture dialect emits.
 _CANDIDATES: list[tuple[str, str]] = [
@@ -57,26 +65,58 @@ def get_text(fragment: str) -> str:
     return " ".join(text.split())
 
 
+def _element_span(html: str, tag: str, open_end: int) -> tuple[int, int] | None:
+    """``(inner_end, element_end)`` for the element whose open tag ends
+    at ``open_end``: a depth counter over subsequent same-tag tokens
+    finds the *matching* close, so nested same-tag elements resolve
+    correctly (the stack-based matcher the reference gets for free from
+    BeautifulSoup). Returns None for an unclosed element."""
+    if tag.lower() in _VOID_TAGS:
+        return open_end, open_end
+    tok = re.compile(rf"<(/?){tag}\b[^>]*>", re.IGNORECASE)
+    depth = 1
+    for m in tok.finditer(html, open_end):
+        if m.group(1):
+            depth -= 1
+            if depth == 0:
+                return m.start(), m.end()
+        elif not m.group(0).endswith("/>"):
+            depth += 1
+    return None
+
+
 def _extract_element(html: str, kind: str, name: str) -> str | None:
-    """First matching element's inner HTML, or None. Elements in the
-    fixture dialect never self-nest, so a lazy match to the first
-    closing tag is exact."""
+    """First matching element's inner HTML (nesting-aware), or None."""
     if kind == "tag":
-        pat = re.compile(rf"<{name}\b[^>]*>(.*?)</{name}>", re.IGNORECASE | re.DOTALL)
-        m = pat.search(html)
-        return m.group(1) if m else None
+        m = re.search(rf"<{name}\b[^>]*>", html, re.IGNORECASE)
+        if not m:
+            return None
+        span = _element_span(html, name, m.end())
+        return html[m.end():span[0]] if span else None
     attr = "id" if kind == "id" else "class"
     pat = re.compile(
         rf'<([a-z0-9]+)\b[^>]*\b{attr}="{name}"[^>]*>', re.IGNORECASE)
     m = pat.search(html)
     if not m:
         return None
-    tag = m.group(1)
-    close = re.compile(rf"</{tag}>", re.IGNORECASE)
-    end = close.search(html, m.end())
-    if not end:
-        return None
-    return html[m.end():end.start()]
+    span = _element_span(html, m.group(1), m.end())
+    return html[m.end():span[0]] if span else None
+
+
+def _strip_blocks(html: str) -> str:
+    """Remove boilerplate elements with their entire (possibly nested)
+    subtrees — the ``decompose()`` analog of crawler.py:552-556."""
+    pos = 0
+    while True:
+        m = _STRIP_OPEN.search(html, pos)
+        if not m:
+            return html
+        span = _element_span(html, m.group(1), m.end())
+        if span is None:
+            # unclosed boilerplate swallows the rest of the document
+            return html[:m.start()]
+        html = html[:m.start()] + " " + html[span[1]:]
+        pos = m.start()
 
 
 def get_title(html: str) -> str:
@@ -116,7 +156,7 @@ def extract_main_content(html: str, selector: str | None = None) -> str:
     else:
         body = _extract_element(html, "tag", "body")
         target = body if body is not None else html
-    target = _STRIP_BLOCKS.sub(" ", target)
+    target = _strip_blocks(target)
     return get_text(target)
 
 

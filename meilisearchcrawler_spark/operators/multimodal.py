@@ -1,0 +1,121 @@
+"""Multimodal (audio/video) column operators — opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched kernels.
+
+Task-brief tier: the image/audio libs aren't in this container, so the
+*codec* for real formats is a clearly-marked stub
+(:func:`decode_audio` raises ``NotImplementedError`` for anything but
+the deterministic ``pcm16`` fixture format, and the kernels surface
+that as ``decode_ok=false`` rows — errors-as-data, never task
+failures). The Spark-side plumbing is real and tested: schemas, batch
+shapes, ``mapInPandas`` signatures, per-row error capture, and the
+frame-sampling explode all behave exactly as they would with ffmpeg
+behind the decode call.
+
+Scale shape: both kernels are pure map stages — no shuffle, no driver
+involvement; frame sampling multiplies rows executor-side and carries
+only (id, frame_idx, ts_ms, hash), never decoded pixels, downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, fmt string, decode_ok boolean, n_samples long, "
+    "duration_ms double, rms double, peak double, zero_cross_rate double")
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, fmt string, decode_ok boolean, frame_idx int, "
+    "ts_ms double, frame_hash string, mean_lum double")
+
+
+def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode one audio payload to int16 samples. Only the
+    deterministic fixture codec is implemented; real formats need an
+    audio library this container doesn't ship — the kernel catches the
+    NotImplementedError and emits a decode_ok=false row."""
+    if fmt == "pcm16":
+        return np.frombuffer(payload, dtype="<i2")
+    raise NotImplementedError(f"audio codec not available in-container: {fmt}")
+
+
+def decode_frames(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode one video payload to (n_frames, h, w) uint8 luma. Only
+    the raw fixture codec is implemented (see :func:`decode_audio`)."""
+    if fmt == "grayraw":
+        frame = w * h
+        n = len(payload) // frame
+        return np.frombuffer(payload[:n * frame], dtype=np.uint8).reshape(n, h, w)
+    raise NotImplementedError(f"video codec not available in-container: {fmt}")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-row decode + feature extraction (duration, RMS, peak,
+    zero-crossing rate) over (media_id, bytes, fmt, sample_rate)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"media_id": row.media_id, "fmt": row.fmt,
+                       "decode_ok": False, "n_samples": 0,
+                       "duration_ms": None, "rms": None, "peak": None,
+                       "zero_cross_rate": None}
+                try:
+                    x = decode_audio(row.bytes, row.fmt).astype(np.float64)
+                except NotImplementedError:
+                    out.append(rec)
+                    continue
+                n = len(x)
+                rec.update(
+                    decode_ok=True, n_samples=n,
+                    duration_ms=round(n * 1000.0 / row.sample_rate, 4),
+                    rms=round(float(np.sqrt(np.mean(x ** 2))), 4) if n else 0.0,
+                    peak=round(float(np.max(np.abs(x))), 4) if n else 0.0,
+                    zero_cross_rate=round(
+                        float(np.mean(np.abs(np.diff(np.sign(x))) > 0)), 6)
+                    if n > 1 else 0.0)
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=["media_id", "fmt", "decode_ok", "n_samples",
+                              "duration_ms", "rms", "peak", "zero_cross_rate"])
+
+    return (df.select("media_id", "bytes", "fmt", "sample_rate")
+            .mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA))
+
+
+def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video row into
+    (media_id, frame_idx, ts_ms, frame_hash, mean_lum) rows — the
+    executor-side explode a frame-dedup / caption pipeline consumes.
+    Undecodable rows yield exactly one decode_ok=false row."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                base = {"media_id": row.media_id, "fmt": row.fmt,
+                        "decode_ok": False, "frame_idx": -1, "ts_ms": None,
+                        "frame_hash": None, "mean_lum": None}
+                try:
+                    frames = decode_frames(row.bytes, row.fmt, row.w, row.h)
+                except NotImplementedError:
+                    out.append(base)
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx]
+                    out.append({**base, "decode_ok": True, "frame_idx": idx,
+                                "ts_ms": round(idx * 1000.0 / row.fps, 4),
+                                "frame_hash": hashlib.md5(
+                                    f.tobytes()).hexdigest(),
+                                "mean_lum": round(float(f.mean()), 4)})
+            yield pd.DataFrame(
+                out, columns=["media_id", "fmt", "decode_ok", "frame_idx",
+                              "ts_ms", "frame_hash", "mean_lum"])
+
+    return (df.select("media_id", "bytes", "fmt", "w", "h", "fps")
+            .mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA))

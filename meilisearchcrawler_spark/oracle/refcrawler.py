@@ -65,6 +65,7 @@ class CrawlResult:
 def crawl_site(fixture: WebFixture, site: dict, *, batch_size: int = 2,
                max_pages: int = 0, max_rounds: int | None = None,
                max_queue_size: int | None = None,
+               max_duration: float | None = None,
                cache_days: float = CACHE_DAYS, force_recrawl: bool = False,
                round_seconds: float = 1.0,
                initial_url_seen: dict[str, dict] | None = None) -> CrawlResult:
@@ -95,6 +96,9 @@ def crawl_site(fixture: WebFixture, site: dict, *, batch_size: int = 2,
     round_no = 0
     while heap:
         if max_rounds is not None and round_no >= max_rounds:
+            break
+        # MAX_CRAWL_DURATION on the logical clock (crawler.py:1138-1143)
+        if max_duration is not None and round_no * round_seconds > max_duration:
             break
         if max_pages > 0 and stats["pages_visited"] >= max_pages:
             break

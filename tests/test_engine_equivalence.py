@@ -168,6 +168,24 @@ def test_queue_cap(spark, web, tmp_path):
     _assert_equivalent(eng, oracle)
 
 
+def test_many_sites_dimension_tables(spark, tmp_path):
+    """80 sites / 80 hosts in lockstep: the J3/J4 dimension-table form
+    of site exclusions, robots rules, budgets and counter bases must
+    stay exact-match at a site count where the old per-site when-chains
+    would have exploded the plan. Small pages-per-site keeps the run
+    bounded; every admission branch still fires via the noise links."""
+    fx = generate_web(seed=29, n_sites=80, pages_per_site=8)
+    out = tmp_path / "web"
+    paths = write_parquet(fx, str(out))
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=2) for s in fx.seeds}
+    eng = CrawlEngine(spark, str(tmp_path / "cat"), paths["pages"],
+                      fx.seeds, fx.robots,
+                      CrawlConfig(round_budget=2, shuffle_partitions=8),
+                      initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=100)
+    _assert_equivalent(eng, oracle)
+
+
 def test_cogroup_bloom_mode(spark, web, tmp_path):
     """bloom_probe_mode='cogroup' — the production probe shape where
     the visited filter lives only in the bloom_parts table (no driver

@@ -174,3 +174,56 @@ class TestHtmlKernels:
     def test_lang(self):
         assert H.sniff_lang_from_html(PAGE.format(body="b")) == "en"
         assert H.sniff_lang_from_html("<html><body></body></html>") == "fr"
+
+
+class TestNestedHtml:
+    """Depth-counting element matcher (generic-HTML hardening,
+    crawler.py:520-561): nested same-tag elements must extract to the
+    MATCHING close, and boilerplate subtrees decompose whole."""
+
+    def test_nested_same_tag_div(self):
+        from meilisearchcrawler_spark.functions.html import extract_main_content
+
+        html = ('<html><body><div id="content"><div class="wrap">'
+                "<div>inner text here</div><div>second box</div></div></div>"
+                "<footer>foot</footer></body></html>")
+        got = extract_main_content(html, selector="#content")
+        assert got == "inner text here second box"
+
+    def test_nested_article_candidate(self):
+        from meilisearchcrawler_spark.functions.html import extract_main_content
+
+        body = "<article>outer <article>inner</article> tail " + "x " * 150 + "</article>"
+        got = extract_main_content(f"<html><body>{body}</body></html>")
+        assert got.startswith("outer inner tail")
+        assert got.rstrip().endswith("x")
+
+    def test_nested_boilerplate_decomposes_whole_subtree(self):
+        from meilisearchcrawler_spark.functions.html import extract_main_content
+
+        html = ("<html><body><nav>top <nav>sub menu</nav> links</nav>"
+                "<p>real content</p><footer>a<footer>b</footer>c</footer>"
+                "</body></html>")
+        assert extract_main_content(html) == "real content"
+
+    def test_unclosed_boilerplate_swallows_rest(self):
+        from meilisearchcrawler_spark.functions.html import extract_main_content
+
+        html = "<html><body><p>kept</p><nav>menu <p>lost</p></body></html>"
+        assert extract_main_content(html) == "kept"
+
+    def test_void_tags_do_not_break_depth(self):
+        from meilisearchcrawler_spark.functions.html import extract_main_content
+
+        html = ('<html><body><div id="content">before <img src="/x.png"> '
+                "after</div></body></html>")
+        assert extract_main_content(html, selector="#content") == "before after"
+
+    def test_self_closing_div_not_counted(self):
+        from meilisearchcrawler_spark.functions.html import _element_span
+
+        html = '<div id="c"><div/>text</div>tail'
+        import re
+        m = re.search(r'<div id="c">', html)
+        span = _element_span(html, "div", m.end())
+        assert html[m.end():span[0]] == "<div/>text"

@@ -1,0 +1,77 @@
+"""Multimodal plumbing: audio feature extraction and video frame
+sampling over opaque binary columns — exact vs a driver-side numpy
+recomputation; opaque codecs surface as decode_ok=false rows (the
+declared in-container stub), never task failures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+from meilisearchcrawler_spark.fixtures.mediagen import generate_media
+from meilisearchcrawler_spark.operators.multimodal import (
+    audio_features,
+    decode_audio,
+    decode_frames,
+    frame_sample,
+)
+
+AUDIO_SCHEMA = ("media_id string, bytes binary, fmt string, "
+                "sample_rate int, n_channels int, duration_ms int")
+VIDEO_SCHEMA = ("media_id string, bytes binary, fmt string, "
+                "w int, h int, fps double, n_frames int")
+
+
+def test_audio_features_exact(spark):
+    audio, _ = generate_media(n_audio=20, n_video=0)
+    df = spark.createDataFrame(audio, schema=AUDIO_SCHEMA)
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert len(got) == 20
+    for row in audio:
+        g = got[row["media_id"]]
+        if row["fmt"] != "pcm16":
+            assert g["decode_ok"] is False and g["rms"] is None
+            continue
+        x = np.frombuffer(row["bytes"], dtype="<i2").astype(np.float64)
+        assert g["decode_ok"] is True
+        assert g["n_samples"] == len(x)
+        assert math.isclose(g["duration_ms"],
+                            round(len(x) * 1000.0 / row["sample_rate"], 4))
+        assert math.isclose(g["rms"], round(float(np.sqrt(np.mean(x ** 2))), 4))
+        assert math.isclose(g["peak"], round(float(np.max(np.abs(x))), 4))
+    assert sum(1 for r in got.values() if not r["decode_ok"]) == 4  # opus rows
+
+
+def test_frame_sampling_exact(spark):
+    _, video = generate_media(n_audio=0, n_video=10)
+    df = spark.createDataFrame(video, schema=VIDEO_SCHEMA)
+    rows = frame_sample(df, every_n=3).collect()
+    by_id: dict[str, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for v in video:
+        got = sorted(by_id[v["media_id"]], key=lambda r: r["frame_idx"])
+        if v["fmt"] != "grayraw":
+            assert len(got) == 1 and got[0]["decode_ok"] is False
+            continue
+        frames = np.frombuffer(v["bytes"], dtype=np.uint8).reshape(
+            v["n_frames"], v["h"], v["w"])
+        want_idx = list(range(0, v["n_frames"], 3))
+        assert [r["frame_idx"] for r in got] == want_idx
+        for r in got:
+            f = frames[r["frame_idx"]]
+            assert r["frame_hash"] == hashlib.md5(f.tobytes()).hexdigest()
+            assert math.isclose(r["mean_lum"], round(float(f.mean()), 4))
+            assert math.isclose(r["ts_ms"],
+                                round(r["frame_idx"] * 1000.0 / v["fps"], 4))
+
+
+def test_stub_is_declared_not_silent():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00", "opus")
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"\x00", "h264", 4, 4)
