@@ -181,3 +181,62 @@ def fetch_wiki_documents(spark: SparkSession, store: dict[int, dict],
     return (fetched.filter(F.col("status") == "ok")
             .withColumn("site", F.lit(site["site"]))
             .withColumn("lang", F.lit(site.get("lang", "fr"))))
+
+
+def wiki_search_scan(raw: "DataFrame", site_url: str, site_name: str,
+                     lang: str, limit: int = 5) -> "DataFrame":
+    """S12 — the MediaWiki search scan (WikiClient.search,
+    api/services/wiki_client.py:104-161): ``list=search`` results
+    transformed into SearchResult rows.
+
+    ``raw`` models the API response items per query in API rank order:
+    (query string, rank int, pageid long, title string, snippet
+    string) — the HTTP layer (curl_cffi/aiohttp fallback, CORS,
+    Cloudflare bypass) is out of engine scope like S1's socket layer.
+    Reference mapping reproduced exactly: items missing pageid or
+    title are skipped (wiki_client.py:142-143), id = ``wiki_{pageid}``,
+    url = ``{site_url}?curid={pageid}``, the snippet stays HTML
+    (wiki_client.py:150), score = 1.0. ``srlimit`` truncates the API
+    response BEFORE the validity skip (the server returns ``limit``
+    items; invalid ones consume slots), so the window cut precedes the
+    filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(F.asc("rank"))
+    served = (raw.withColumn("_api_rn", F.row_number().over(w))
+              .filter(F.col("_api_rn") <= limit))
+    return (served
+            .filter(F.col("pageid").isNotNull() & F.col("title").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .select(
+                "query",
+                F.concat(F.lit("wiki_"), F.col("pageid")).alias("id"),
+                F.concat(F.lit(site_url), F.lit("?curid="),
+                         F.col("pageid")).alias("url"),
+                "title",
+                F.coalesce("snippet", F.lit("")).alias("excerpt"),
+                F.lit("wiki").alias("source"),
+                F.lit(site_name).alias("site"),
+                F.lit(lang).alias("lang"),
+                F.lit(1.0).alias("score"),
+                (F.col("_rn") - 1).alias("rank")))
+
+
+def wiki_search_oracle(items: list[dict], site_url: str, site_name: str,
+                       lang: str, limit: int = 5) -> list[dict]:
+    """Sequential port of WikiClient.search's result loop for tests
+    (the server truncates to ``srlimit`` before the validity skip)."""
+    out = []
+    for item in items[:limit]:
+        if item.get("pageid") is None or item.get("title") is None:
+            continue
+        out.append({
+            "id": f"wiki_{item['pageid']}",
+            "url": f"{site_url}?curid={item['pageid']}",
+            "title": item["title"],
+            "excerpt": item.get("snippet") or "",
+            "source": "wiki", "site": site_name, "lang": lang,
+            "score": 1.0, "rank": len(out),
+        })
+    return out

@@ -238,3 +238,47 @@ class TestHybridSearch:
         sem_only = hybrid_topk(docs_df, emb_df, ["spark"], qvec,
                                semantic_ratio=1.0, k=5).collect()
         assert all(r["score"] == r["semantic_score"] for r in sem_only)
+
+
+class TestWikiSearchScan:
+    """S12 — WikiClient.search result mapping (wiki_client.py:104-161):
+    srlimit truncation before the validity skip, wiki_{pageid} ids,
+    curid URLs, HTML snippets kept."""
+
+    def test_scan_matches_oracle(self, spark):
+        from meilisearchcrawler_spark.sources.mediawiki import (
+            wiki_search_oracle, wiki_search_scan)
+
+        rng = random.Random(31)
+        raw = []
+        per_query = {}
+        for q in ("castles", "volcanoes", "empty"):
+            items = []
+            n = 0 if q == "empty" else 9
+            for r in range(n):
+                items.append({
+                    "pageid": None if r == 1 else 1000 + r,
+                    "title": None if r == 3 else f"{q} page {r}",
+                    "snippet": f"<b>{q}</b> snippet {r}" if r % 2 else None,
+                })
+            per_query[q] = items
+            raw += [{"query": q, "rank": r, **it}
+                    for r, it in enumerate(items)]
+        df = spark.createDataFrame(
+            raw, schema=("query string, rank int, pageid long, "
+                         "title string, snippet string"))
+        got = {}
+        for r in wiki_search_scan(df, "https://fr.vikidia.org/wiki",
+                                  "Vikidia", "fr", limit=5).collect():
+            got.setdefault(r["query"], []).append(r.asDict())
+        for q, items in per_query.items():
+            want = wiki_search_oracle(items, "https://fr.vikidia.org/wiki",
+                                      "Vikidia", "fr", limit=5)
+            g = sorted(got.get(q, []), key=lambda r: r["rank"])
+            assert len(g) == len(want), q
+            for a, b in zip(g, want):
+                for k in ("id", "url", "title", "excerpt", "source",
+                          "site", "lang", "score", "rank"):
+                    assert a[k] == b[k], (q, k, a, b)
+        # invalid rows consumed srlimit slots: 5 served, 2 invalid → 3 out
+        assert len(got["castles"]) == 3
