@@ -157,3 +157,52 @@ class TestSearchPipeline:
             for g, w in zip(got, want):
                 import math
                 assert math.isclose(g["score"], w["score"], rel_tol=1e-6)
+
+
+class TestStreamingDedup:
+    """applyInPandasWithState stateful URL dedup (streaming F1): only
+    first occurrences survive, and operator state persists across a
+    query restart via the checkpoint."""
+
+    def test_first_occurrence_across_restarts(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from meilisearchcrawler_spark.streaming.dedup_stream import (
+            streaming_url_dedup,
+        )
+
+        src = tmp_path / "urls"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            pq.write_table(pa.Table.from_pylist(rows), str(src / name))
+
+        out_dir = str(tmp_path / "out")
+
+        def drain():
+            stream = (spark.readStream
+                      .schema("url_hash long, url string, site string")
+                      .parquet(str(src)))
+            q = (streaming_url_dedup(stream, n_buckets=8)
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return [r.asDict() for r in
+                    spark.read.parquet(out_dir).collect()]
+
+        rows1 = [{"url_hash": h, "url": f"u{h}", "site": "s"}
+                 for h in [1, 2, 3, 2, 1, 64 + 1, 5]]
+        drop("a.parquet", rows1)
+        got1 = drain()
+        assert sorted(r["url_hash"] for r in got1) == [1, 2, 3, 5, 65]
+
+        # second drop + a NEW query from the same checkpoint: state
+        # must remember batch-1 hashes
+        rows2 = [{"url_hash": h, "url": f"u{h}", "site": "s"}
+                 for h in [2, 5, 7, 65, 7, 9]]
+        drop("b.parquet", rows2)
+        got2 = drain()  # cumulative sink: batch-1 rows + only-new batch-2 rows
+        assert sorted(r["url_hash"] for r in got2) == [1, 2, 3, 5, 7, 9, 65]
