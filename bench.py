@@ -75,7 +75,6 @@ def main() -> None:
             image_stage_throughput,
         )
         image = image_stage_throughput(spark, n_images=30_000)
-        timings["image_stage"] = image["sec"]
         print(f"# image_stage: {image}", file=sys.stderr)
     except Exception as exc:
         print(f"# image bench skipped: {exc}", file=sys.stderr)
@@ -170,6 +169,7 @@ def main() -> None:
         out["crawl_pages_per_sec"] = crawl["pages_per_sec"]
     if image:
         out["image_urls_per_sec"] = image["images_per_sec"]
+        out["image_stage_sec"] = image["sec"]
     if pop_scale:
         out["frontier_pop_scale"] = pop_scale
     if bloom_scale:
