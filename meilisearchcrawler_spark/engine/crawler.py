@@ -64,6 +64,7 @@ from ..config import DEFAULT_LANG, MIN_CONTENT_LEN, CrawlConfig
 from ..fixtures.webgen import T0
 from ..functions import html as H
 from ..functions import text as T
+from ..functions.robots import robots_denied_udf
 from ..functions.urls import (
     admission_exclusions,
     generate_doc_id,
@@ -278,10 +279,10 @@ class CrawlEngine:
             schema="site string, _exclude array<string>")
         self._robots_dim = spark.createDataFrame(
             [{"host": host,
-              "_rob_disallow": list(rob.get("disallow") or []),
+              "_rob_txt": _robots_txt_of(rob),
               "_rob_allow_all": bool(rob.get("fetch_fails"))}
              for host, rob in self.robots.items()],
-            schema=("host string, _rob_disallow array<string>, "
+            schema=("host string, _rob_txt string, "
                     "_rob_allow_all boolean")) if self.robots else None
         self._bloom = PartitionedBloom(self.cfg.bloom_num_partitions,
                                        bits_per_partition=1 << 17)
@@ -488,21 +489,18 @@ class CrawlEngine:
                             is_excluded_arr(F.col("url"), F.col("_exclude")))
                 .drop("_exclude"))
         cand = cand.withColumn("f_ext", has_ignored_extension_col(F.col("url")))
-        # robots (F5): broadcast-joined host dimension; fixture prefix
-        # rules evaluated JVM-side; failed robots fetch ⇒ allow_all
-        # (crawler.py:425-429). Unknown host ⇒ allow.
+        # robots (F5): broadcast-joined host dimension, evaluated with
+        # the stdlib RobotFileParser (full User-agent/Allow/Disallow
+        # semantics — the reference's own parser, crawler.py:405-429)
+        # in an Arrow-batched UDF with a per-distinct-robots.txt parser
+        # cache; failed robots fetch ⇒ allow_all. Unknown host ⇒ allow.
         if self._robots_dim is not None:
-            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")),
-                              F.lit("/"))
-            denied = F.coalesce(
-                ~F.col("_rob_allow_all")
-                & F.coalesce(F.exists(F.col("_rob_disallow"),
-                                      lambda p: path.startswith(p)),
-                             F.lit(False)),
-                F.lit(False))
             cand = (cand.join(F.broadcast(self._robots_dim), "host", "left")
-                    .withColumn("f_robots_denied", denied)
-                    .drop("_rob_disallow", "_rob_allow_all"))
+                    .withColumn("f_robots_denied",
+                                robots_denied_udf(F.col("url"),
+                                                  F.col("_rob_txt"),
+                                                  F.col("_rob_allow_all")))
+                    .drop("_rob_txt", "_rob_allow_all"))
         else:
             cand = cand.withColumn("f_robots_denied", F.lit(False))
         # visited dup (F1): Bloom prefilter → exact anti-join
@@ -1117,3 +1115,17 @@ def _host_of(url: str) -> str:
     from urllib.parse import urlparse
 
     return urlparse(url).netloc
+
+
+def _robots_txt_of(rob: dict) -> str | None:
+    """robots.txt content for a robots row; legacy prefix-list rows
+    (bench fixtures predating the full-semantics path) synthesize an
+    equivalent file."""
+    txt = rob.get("robots_txt")
+    if txt is not None:
+        return txt
+    prefixes = rob.get("disallow") or []
+    if not prefixes:
+        return None
+    return "\n".join(["User-agent: *"]
+                     + [f"Disallow: {p}" for p in prefixes])

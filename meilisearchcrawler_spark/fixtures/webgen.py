@@ -130,9 +130,21 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             "selector": selector,
         }
         seeds.append(site)
+        # real robots.txt content evaluated by urllib.robotparser on
+        # both sides (crawler.py:405-429); the Allow carve-out before
+        # the Disallow exercises rule-order semantics beyond prefix
+        # matching, and odd sites get an agent-specific group
+        rob_lines = []
+        if s % 3 == 1:
+            rob_lines += ["User-agent: SomeOtherBot", "Disallow: /", ""]
+        rob_lines += ["User-agent: *", "Allow: /blocked/ok",
+                      "Disallow: /blocked"]
+        if s % 2:
+            rob_lines.append("Crawl-delay: 0.25")
         robots.append({
             "host": host,
-            "disallow": ["/blocked"],
+            "robots_txt": "\n".join(rob_lines),
+            "disallow": ["/blocked"],   # legacy prefix form (bench compat)
             "crawl_delay": 0.25 if s % 2 else None,
             "fetch_fails": s == n_sites - 1,  # allow_all fallback path
         })
@@ -163,6 +175,9 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             # alone must produce the 304 / refetch decision
             special[f"/p{pages_per_site - 14}"] = "lm304"
             special[f"/p{pages_per_site - 15}"] = "lm_changed"
+            # under the Disallow'd prefix but carved back in by an
+            # Allow rule — full robots semantics, crawlable
+            special[f"/p{pages_per_site - 16}"] = "blocked_allowed_page"
 
         # rename pages that must match URL-pattern filters
         renamed = {}
@@ -171,6 +186,8 @@ def generate_web(seed: int = 42, n_sites: int = 3,
                 renamed[path] = "/noindex/a"
             elif kind == "blocked_page":
                 renamed[path] = "/blocked/a"
+            elif kind == "blocked_allowed_page":
+                renamed[path] = "/blocked/ok/a"
         paths = [renamed.get(p, p) for p in paths]
         special = {renamed.get(p, p): k for p, k in special.items()}
 

@@ -37,15 +37,19 @@ from ..functions.urls import (
 )
 
 
-def robots_can_fetch(url: str, disallow: list[str], fetch_fails: bool) -> bool:
-    """Simplified robots gate over the fixture's prefix rules; a failed
-    robots fetch means allow_all (crawler.py:425-429)."""
-    if fetch_fails:
-        return True
-    from urllib.parse import urlparse
+def robots_can_fetch(url: str, rob: dict) -> bool:
+    """Full robots gate: the stdlib RobotFileParser over the fixture's
+    robots.txt content — the reference's own parser (crawler.py:405-429,
+    can_fetch at 1174-1176); a failed robots fetch means allow_all."""
+    from ..functions.robots import can_fetch
 
-    path = urlparse(url).path or "/"
-    return not any(path.startswith(p) for p in disallow)
+    if rob.get("fetch_fails"):
+        return True
+    txt = rob.get("robots_txt")
+    if txt is None and rob.get("disallow"):
+        txt = "\n".join(["User-agent: *"]
+                        + [f"Disallow: {p}" for p in rob["disallow"]])
+    return can_fetch(txt, False, url)
 
 
 @dataclass
@@ -126,7 +130,7 @@ def crawl_site(fixture: WebFixture, site: dict, *, batch_size: int = 2,
                                       "counter": counter, "action": "ext_skipped"})
                 continue
             rob = robots.get(pages.get(url, {}).get("host") or _host(url))
-            if rob and not robots_can_fetch(url, rob["disallow"], rob["fetch_fails"]):
+            if rob and not robots_can_fetch(url, rob):
                 res.crawl_log.append({"round": round_no, "pos_in_round": -1,
                                       "url": url, "depth": depth,
                                       "counter": counter, "action": "robots_denied"})

@@ -227,3 +227,42 @@ class TestNestedHtml:
         m = re.search(r'<div id="c">', html)
         span = _element_span(html, "div", m.end())
         assert html[m.end():span[0]] == "<div/>text"
+
+
+class TestRobots:
+    """F5 full robots.txt semantics — the stdlib RobotFileParser (the
+    reference's own parser, crawler.py:405-429) on both engine and
+    oracle paths; Allow carve-outs, agent groups, allow-all fallback."""
+
+    TXT = ("User-agent: SomeOtherBot\nDisallow: /\n\n"
+           "User-agent: *\nAllow: /blocked/ok\nDisallow: /blocked\n"
+           "Crawl-delay: 0.25")
+
+    def test_rule_order_and_carveout(self):
+        from meilisearchcrawler_spark.functions.robots import can_fetch
+
+        assert can_fetch(self.TXT, False, "http://h/blocked/ok/a")
+        assert not can_fetch(self.TXT, False, "http://h/blocked/a")
+        assert can_fetch(self.TXT, False, "http://h/p1")
+        assert can_fetch(None, True, "http://h/blocked/a")   # fetch failed
+        assert can_fetch(None, False, "http://h/blocked/a")  # no robots row
+
+    def test_udf_matches_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from meilisearchcrawler_spark.functions.robots import (
+            can_fetch, robots_denied_udf)
+
+        rows = [{"url": u, "txt": t, "aa": aa} for u, t, aa in [
+            ("http://h/blocked/ok/a", self.TXT, False),
+            ("http://h/blocked/a", self.TXT, False),
+            ("http://h/p1", self.TXT, False),
+            ("http://h/blocked/a", self.TXT, True),
+            ("http://h/blocked/a", None, False),
+        ]]
+        df = spark.createDataFrame(rows, "url string, txt string, aa boolean")
+        got = df.withColumn("denied", robots_denied_udf(
+            F.col("url"), F.col("txt"), F.col("aa"))).collect()
+        for r in got:
+            want = not can_fetch(r["txt"], bool(r["aa"]), r["url"])
+            assert r["denied"] == want, r
