@@ -581,11 +581,16 @@ def q30_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl engine end-to-end (rows-only check; its real oracle is
-    the reference-semantics equivalence suite,
-    tests/test_engine_equivalence.py): seeded synthetic web → frontier
-    rounds → indexed documents. Ignores sf_dir (the crawl input is the
-    deterministic fixture web, not the TPC-H tables)."""
+    """The crawl engine end-to-end, surfaced as its ORDERING ARTIFACT:
+    the crawl_log rows (admission decisions with round / position /
+    counter). The driver hashes these against an oracle built by
+    replaying the sequential reference algorithm in pure Python
+    (oracle/refcrawler.py) and serializing its log as SQL VALUES — so
+    the reference-equivalence gate itself runs inside the driver's
+    correctness check (round-2 verdict next-step #8). Ignores sf_dir
+    (the crawl input is the deterministic fixture web). visited_dup
+    rows are excluded: the reference pops those silently
+    (refcrawler.py:119-120), so they have no oracle-side row."""
     import tempfile
 
     from meilisearchcrawler_spark.config import CrawlConfig
@@ -600,9 +605,288 @@ def q90_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CrawlConfig(round_budget=8, shuffle_partitions=8),
                       initial_url_seen=fx.url_seen)
     eng.run(max_rounds=60)
-    docs = eng.documents()
-    return docs.select("id", "site", "url", "title", "content_hash", "lang",
-                       "timestamp")
+    log = eng.catalog.read("crawl_log")
+    return (log.filter(F.col("action").isin(
+        "admitted", "excluded", "ext_skipped", "robots_denied"))
+        .select("site", "round", "pos_in_round", "url", "counter", "action"))
+
+
+def _q90_oracle_sql() -> str:
+    """Sequential-reference replay (pure Python, no Spark) serialized
+    as VALUES — DuckDB returns the exact crawl_log the engine must
+    reproduce."""
+    from meilisearchcrawler_spark.fixtures.webgen import generate_web
+    from meilisearchcrawler_spark.oracle.refcrawler import crawl_site
+
+    fx = generate_web(seed=5, n_sites=2, pages_per_site=30)
+    rows = []
+    for s in fx.seeds:
+        orc = crawl_site(fx, s, batch_size=8)
+        for r in orc.crawl_log:
+            url = r["url"].replace("'", "''")
+            rows.append(f"('{s['site']}', {r['round']}, {r['pos_in_round']}, "
+                        f"'{url}', {r['counter']}, '{r['action']}')")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT site, round::INT AS round, pos_in_round::INT AS pos_in_round,
+       url, counter::BIGINT AS counter, action
+FROM (VALUES {vals}) AS t(site, round, pos_in_round, url, counter, action)"""
+
+
+# ---------------------------------------------------------------------------
+# Stateful-source operators (S11 CSE cache/quota, A4 search-log sink,
+# A10 TEI metrics) — deterministic literal fixtures on both sides, so
+# the driver's DuckDB replay certifies the full decision algebra
+# (round-2 verdict next-step #5).
+# ---------------------------------------------------------------------------
+
+_CSE_NOW = 1_700_000_000.0
+_CSE_DAY = "2024-01-15"
+_CSE_USED = 98          # prior quota_log sum for the day
+_CSE_DAILY_QUOTA = 100  # cse_client.py:36
+_CSE_QUERIES = [
+    (0, "alpha", "fr"), (1, "beta", "fr"), (2, "gamma", "fr"),
+    (3, "beta", "fr"), (4, "delta", "fr"), (5, "eps", "fr"),
+    (6, "alpha", "fr"), (7, "eps", "fr"), (8, "zeta", "fr"),
+    (9, "gamma", "fr"),
+]
+# (query, lang, results, expires_at offset from now, batch)
+_CSE_CACHE = [
+    ("alpha", "fr", '["a-cached"]', 1000.0, 0),   # valid → prior hit
+    ("beta", "fr", '["b-old"]', -5.0, 0),         # expired → refetch
+]
+# (query, lang, results, fails)
+_CSE_API = [
+    ("beta", "fr", '["b1"]', False),
+    ("gamma", "fr", '[]', True),                  # API error path
+    ("delta", "fr", '["d1"]', False),
+    ("eps", "fr", '["e1"]', False),
+]
+
+
+def q31_cse_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — one CSE micro-batch through the stateful cache→quota→API
+    decision path (sources/cse.py:69-166; ref cse_client.py:98-140):
+    prior cache hits, expired entries, intra-batch repeats riding an
+    earlier fetch, an API-error head, and quota exhaustion mid-batch
+    (2 slots left for 4 fetchable heads). Ignores sf_dir — the fixture
+    is the literal request stream above, same on the oracle side."""
+    from meilisearchcrawler_spark.sources.cse import process_batch, query_hash_col
+
+    queries = spark.createDataFrame(
+        _CSE_QUERIES, "qid long, query string, lang string")
+    cache_log = spark.createDataFrame(
+        [(q, lg, r, _CSE_NOW + off, b) for q, lg, r, off, b in _CSE_CACHE],
+        "query string, lang string, results string, expires_at double, batch int"
+    ).withColumn("query_hash", query_hash_col(F.col("query"), F.col("lang")))
+    quota_log = spark.createDataFrame(
+        [(_CSE_DAY, 50, 0), (_CSE_DAY, _CSE_USED - 50, 1)],
+        "date string, n_calls int, batch int")
+    api = spark.createDataFrame(
+        _CSE_API, "query string, lang string, results string, fails boolean")
+    out = process_batch(queries, cache_log, quota_log, api,
+                        now=_CSE_NOW, day=_CSE_DAY, batch_no=2,
+                        daily_quota=_CSE_DAILY_QUOTA)
+    return out["responses"]
+
+
+def _q31_oracle_sql() -> str:
+    qv = ", ".join(f"({i}, '{q}', '{lg}')" for i, q, lg in _CSE_QUERIES)
+    cv = ", ".join(f"('{q}', '{lg}', '{r}', {_CSE_NOW + off!r}, {b})"
+                   for q, lg, r, off, b in _CSE_CACHE)
+    av = ", ".join(f"('{q}', '{lg}', '{r}', {str(f).lower()})"
+                   for q, lg, r, f in _CSE_API)
+    remaining = max(_CSE_DAILY_QUOTA - _CSE_USED, 0)
+    return f"""
+WITH queries(qid, query, lang) AS (VALUES {qv}),
+cache_log(query, lang, results, expires_at, batch) AS (VALUES {cv}),
+api(query, lang, results, fails) AS (VALUES {av}),
+valid AS (
+  SELECT md5(query || '|' || lang) AS qh, results FROM (
+    SELECT *, row_number() OVER (PARTITION BY query, lang
+                                 ORDER BY batch DESC) AS rn
+    FROM cache_log)
+  WHERE rn = 1 AND expires_at > {_CSE_NOW!r}),
+q1 AS (SELECT q.qid, q.query, q.lang,
+              md5(q.query || '|' || q.lang) AS qh FROM queries q),
+q2 AS (SELECT q1.*, v.results AS cached
+       FROM q1 LEFT JOIN valid v ON v.qh = q1.qh),
+q3 AS (SELECT q2.*, coalesce(a.fails, false) AS api_fails,
+              coalesce(a.results, '[]') AS api_res
+       FROM q2 LEFT JOIN api a ON a.query = q2.query AND a.lang = q2.lang),
+q4 AS (SELECT *, row_number() OVER (PARTITION BY qh ORDER BY qid) AS occ
+       FROM q3),
+q5 AS (SELECT *, (cached IS NULL AND occ = 1) AS is_head FROM q4),
+q6 AS (SELECT *, coalesce(sum(CASE WHEN is_head AND NOT api_fails
+                                   THEN 1 ELSE 0 END)
+         OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS fb FROM q5),
+q7 AS (SELECT *, (least(fb, {remaining}) + {_CSE_USED})
+                 >= {_CSE_DAILY_QUOTA} AS blocked_now FROM q6),
+q8 AS (SELECT *, (is_head AND NOT api_fails AND NOT blocked_now) AS allowed
+       FROM q7),
+q9 AS (SELECT *,
+  max(CASE WHEN allowed THEN 1 ELSE 0 END) OVER (PARTITION BY qh) = 1
+    AS head_cached,
+  min(CASE WHEN is_head THEN qid END) OVER (PARTITION BY qh) AS head_qid
+  FROM q8),
+q10 AS (SELECT *, (cached IS NULL AND head_cached AND qid > head_qid)
+                  AS hit_intra FROM q9)
+SELECT qid::BIGINT AS qid, query, lang,
+  CASE WHEN cached IS NOT NULL THEN cached
+       WHEN allowed OR hit_intra THEN api_res ELSE '[]' END AS results,
+  (cached IS NOT NULL OR hit_intra) AS cache_hit,
+  (cached IS NULL AND NOT hit_intra AND blocked_now) AS quota_blocked
+FROM q10"""
+
+
+_SLOG_NOW = 1_700_000_000.0
+# (query_id, query, lang, limit_requested, use_cse, use_reranking,
+#  use_hybrid, processing_time_ms, cache_hit, batch_ts)
+_SLOG_PARAMS = [
+    (1, "spark window", "fr", 10, True, False, True, 12.5, False),
+    (2, "vector merge", "fr", 20, False, True, True, 48.25, True),
+    (3, "robots budget", "en", 10, True, False, False, 7.0, False),
+    (11, "spark window", "fr", 10, True, True, True, 9.75, True),
+    (12, "bloom filter", "en", 5, False, False, False, 30.5, False),
+    (13, "frontier pop", "en", 10, True, False, True, 15.0, False),
+    (14, "iceberg commit", "fr", 10, False, False, False, 22.25, True),
+]
+_SLOG_OLD_IDS = {1, 2, 3}  # logged one batch earlier (now - 7200)
+# (query_id, source)
+_SLOG_RESULTS = [
+    (1, "meilisearch"), (1, "meilisearch"), (1, "cse"),
+    (2, "meilisearch"), (2, "wiki"), (2, "wiki"), (2, "wiki"),
+    (3, "cse"),
+    (11, "meilisearch"), (11, "wiki"),
+    (12, "meilisearch"), (12, "meilisearch"), (12, "cse"), (12, "wiki"),
+    (14, "meilisearch"),
+]  # query_id 13: zero hits → left-join zeros
+
+
+def q32_search_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 write path + read rollup — two search micro-batches through
+    the search_queries log sink (search/statslog.py:22-70; ref
+    stats_db.py:127-185, 225-412), then the per-lang stats rollup with
+    a last-hour window that only the second batch satisfies."""
+    from meilisearchcrawler_spark.search.statslog import (
+        build_search_log, search_stats)
+
+    pschema = ("query_id long, query string, lang string, "
+               "limit_requested int, use_cse boolean, use_reranking boolean, "
+               "use_hybrid boolean, processing_time_ms double, cache_hit boolean")
+    rschema = "query_id long, source string"
+    logs = []
+    for old in (True, False):
+        ids = _SLOG_OLD_IDS if old else \
+            {p[0] for p in _SLOG_PARAMS} - _SLOG_OLD_IDS
+        params = spark.createDataFrame(
+            [p for p in _SLOG_PARAMS if p[0] in ids], pschema)
+        results = spark.createDataFrame(
+            [r for r in _SLOG_RESULTS if r[0] in ids], rschema)
+        logs.append(build_search_log(
+            params, results, _SLOG_NOW - 7200 if old else _SLOG_NOW))
+    return search_stats(logs[0].unionByName(logs[1]), _SLOG_NOW)
+
+
+def _q32_oracle_sql() -> str:
+    pv = ", ".join(
+        f"({qid}, '{q}', '{lg}', {lim}, {str(c).lower()}, {str(rr).lower()}, "
+        f"{str(h).lower()}, {ms!r}, {str(ch).lower()}, "
+        f"{int(_SLOG_NOW - 7200) if qid in _SLOG_OLD_IDS else int(_SLOG_NOW)})"
+        for qid, q, lg, lim, c, rr, h, ms, ch in _SLOG_PARAMS)
+    rv = ", ".join(f"({qid}, '{s}')" for qid, s in _SLOG_RESULTS)
+    return f"""
+WITH params(query_id, query, lang, limit_requested, use_cse, use_reranking,
+            use_hybrid, processing_time_ms, cache_hit, ts) AS (VALUES {pv}),
+results(query_id, source) AS (VALUES {rv}),
+counts AS (
+  SELECT query_id,
+         sum(CASE WHEN source = 'meilisearch' THEN 1 ELSE 0 END) AS m,
+         sum(CASE WHEN source = 'cse' THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN source = 'wiki' THEN 1 ELSE 0 END) AS w
+  FROM results GROUP BY query_id),
+log AS (
+  SELECT p.*, coalesce(c.m, 0) AS m, coalesce(c.c, 0) AS c,
+         coalesce(c.w, 0) AS w
+  FROM params p LEFT JOIN counts c USING (query_id))
+SELECT lang, count(*)::BIGINT AS n_queries,
+  round(avg(processing_time_ms), 4) AS avg_ms,
+  round(avg(CASE WHEN cache_hit THEN 1.0 ELSE 0.0 END), 6) AS cache_hit_rate,
+  sum(CASE WHEN ts >= {int(_SLOG_NOW) - 3600} THEN 1 ELSE 0 END)::BIGINT
+    AS n_last_hour,
+  round(avg(m + c + w), 4) AS avg_results,
+  round(avg(m), 4) AS avg_meili,
+  round(avg(c), 4) AS avg_cse,
+  round(avg(w), 4) AS avg_wiki,
+  sum(CASE WHEN use_hybrid THEN 1 ELSE 0 END)::BIGINT AS n_hybrid
+FROM log GROUP BY lang"""
+
+
+# (scrape_ts, replica, metric, value) — r1 lacks the duration pairs,
+# r0@2000 has a zero count (both must yield NULL averages,
+# crawler.py:199-239 semantics)
+_TEI_SAMPLES = [
+    (1000, "r0", "te_queue_size", 5.0),
+    (1000, "r0", "te_request_count_batch", 120.0),
+    (1000, "r0", "te_request_success_batch", 118.0),
+    (1000, "r0", "te_request_inference_duration_sum", 3.5),
+    (1000, "r0", "te_request_inference_duration_count", 100.0),
+    (1000, "r0", "te_request_queue_duration_sum", 1.25),
+    (1000, "r0", "te_request_queue_duration_count", 100.0),
+    (1000, "r0", "te_batch_next_size_sum", 640.0),
+    (1000, "r0", "te_batch_next_size_count", 80.0),
+    (1000, "r1", "te_queue_size", 0.0),
+    (1000, "r1", "te_request_count_batch", 10.0),
+    (1000, "r1", "te_request_success_batch", 10.0),
+    (2000, "r0", "te_queue_size", 7.0),
+    (2000, "r0", "te_request_count_batch", 150.0),
+    (2000, "r0", "te_request_success_batch", 149.0),
+    (2000, "r0", "te_request_inference_duration_sum", 4.0),
+    (2000, "r0", "te_request_inference_duration_count", 0.0),
+]
+
+
+def q33_tei_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — TEI Prometheus counter samples → per-(scrape, replica)
+    derived metrics (operators/tei_metrics.py:64-92; ref
+    crawler.py:194-239): pivot + sum/count averages with the count>0
+    guard (missing or zero-count pairs stay NULL)."""
+    from meilisearchcrawler_spark.operators.tei_metrics import derive_tei_metrics
+
+    samples = spark.createDataFrame(
+        _TEI_SAMPLES,
+        "scrape_ts long, replica string, metric string, value double")
+    return derive_tei_metrics(samples)
+
+
+def _q33_oracle_sql() -> str:
+    sv = ", ".join(f"({ts}, '{r}', '{m}', {v!r})"
+                   for ts, r, m, v in _TEI_SAMPLES)
+    return f"""
+WITH samples(scrape_ts, replica, metric, value) AS (VALUES {sv}),
+wide AS (
+  SELECT scrape_ts, replica,
+    max(CASE WHEN metric = 'te_queue_size' THEN value END) AS qs,
+    max(CASE WHEN metric = 'te_request_count_batch' THEN value END) AS rc,
+    max(CASE WHEN metric = 'te_request_success_batch' THEN value END) AS rs,
+    max(CASE WHEN metric = 'te_request_inference_duration_sum' THEN value END) AS isum,
+    max(CASE WHEN metric = 'te_request_inference_duration_count' THEN value END) AS ic,
+    max(CASE WHEN metric = 'te_request_queue_duration_sum' THEN value END) AS qsum,
+    max(CASE WHEN metric = 'te_request_queue_duration_count' THEN value END) AS qc,
+    max(CASE WHEN metric = 'te_batch_next_size_sum' THEN value END) AS bsum,
+    max(CASE WHEN metric = 'te_batch_next_size_count' THEN value END) AS bc
+  FROM samples GROUP BY scrape_ts, replica)
+SELECT scrape_ts::BIGINT AS scrape_ts, replica,
+  qs::BIGINT AS queue_size, rc::BIGINT AS total_requests,
+  rs::BIGINT AS successful_requests,
+  CASE WHEN coalesce(ic, 0) > 0
+       THEN round(isum / ic * 1000.0, 4) END AS avg_inference_time_ms,
+  CASE WHEN coalesce(qc, 0) > 0
+       THEN round(qsum / qc * 1000.0, 4) END AS avg_queue_time_ms,
+  CASE WHEN coalesce(bc, 0) > 0
+       THEN round(bsum / bc * 1.0, 4) END AS avg_batch_size
+FROM wide"""
 
 
 def q91_image_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,8 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_search_stats": q28_search_stats,
         "q29_hybrid_search": q29_hybrid_search,
         "q30_cosine_near_pairs_lsh": q30_cosine_near_pairs_lsh,
-        # engine-level, non-SQL-expressible → rows-only driver check;
-        # exact oracles live in tests/ (equivalence suite, image suite)
+        "q31_cse_decisions": q31_cse_decisions,
+        "q32_search_log_stats": q32_search_log_stats,
+        "q33_tei_metrics": q33_tei_metrics,
+        # q90: engine end-to-end — its oracle is the sequential
+        # reference replay serialized as VALUES (see _q90_oracle_sql);
+        # q91-q93 stay rows-only (exact oracles in tests/)
         "q90_crawl_end_to_end": q90_crawl_end_to_end,
         "q91_image_decode_invariants": q91_image_decode_invariants,
         "q92_multimodal_audio": q92_multimodal_audio,
@@ -847,6 +1135,10 @@ SELECT source, count(*) AS n_docs,
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY source""",
         "q29_hybrid_search": _hybrid_sql(),
+        "q31_cse_decisions": _q31_oracle_sql(),
+        "q32_search_log_stats": _q32_oracle_sql(),
+        "q33_tei_metrics": _q33_oracle_sql(),
+        "q90_crawl_end_to_end": _q90_oracle_sql(),
         "q23_text_quality": _quality_sql(),
         "q24_language_id": _langid_sql(),
         "q25_fingerprint": f"""

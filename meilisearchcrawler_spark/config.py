@@ -101,3 +101,16 @@ class CrawlConfig:
     # Fold table deltas every N rounds (Iceberg rewrite_data_files
     # analog) — bounds the union-read fan-in of hot tables.
     compact_every: int = 8
+    # Hash-bucket count for the corpus-sized key tables (url_seen_log,
+    # visited, content_hashes): every row carries
+    # ``bucket = pmod(xxhash64(key), seen_buckets)`` and compaction
+    # range-partitions + sorts by it, so the per-round membership reads
+    # prune files via parquet min/max stats instead of scanning (the
+    # Iceberg bucket-transform partition spec). Production: 4096.
+    seen_buckets: int = 64
+    # Adaptive pruning floor: collecting the round's bucket list costs
+    # one small driver job, which only pays once the table is big
+    # enough that file-skipping matters — below this on-disk size the
+    # broadcast-filtered scan wins outright (AQE spirit). Tests force 0
+    # to exercise the pruned path; production leaves the default.
+    prune_min_bytes: int = 64 << 20

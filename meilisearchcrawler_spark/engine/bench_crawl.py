@@ -173,3 +173,107 @@ def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
     return {"sec": round(sec, 3), "images": stats["n"], "decode_ok": stats["ok"],
             "min_psnr_db": stats["min_psnr"],
             "images_per_sec": round(stats["n"] / sec, 1)}
+
+
+def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
+                     n_keys: int = 500, n_buckets: int = 64) -> dict:
+    """Round-3 scale gate probe (round-2 verdict next-step #1): the
+    per-round url_seen conditional-header lookup and the visited
+    anti-join must stay ~flat as the corpus tables grow 10×.
+
+    For each size, materializes the table in the engine's compacted
+    bucket layout (bucket = pmod(xxhash64(url), n_buckets), range-
+    partitioned + sorted, as CrawlEngine._compact writes it), then
+    times BOTH plan shapes over an identical ~n_keys round key set:
+
+    * ``old``  — what round 2 shipped: full-table latest-wins window /
+      full-table distinct feeding the join.
+    * ``new``  — what the engine now runs: bucket-pruned file-skipping
+      scan → broadcast semi-join → window/membership over only the
+      round's keys (CrawlEngine._seen_for / _present_keys).
+    """
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window
+
+    from .crawler import bucket_col
+
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out: dict = {}
+    base = _tf.mkdtemp(prefix="mcspark_seenprobe_")
+    try:
+        for n in sizes:
+            step = n // n_keys
+            gen = (spark.range(n)
+                   .select(F.concat(F.lit("http://h/p"), F.col("id"))
+                           .alias("url"),
+                           F.md5(F.concat(F.lit("c"), F.col("id")))
+                           .alias("content_hash"),
+                           (F.col("id") % 20).cast("int").alias("round"))
+                   .withColumn("bucket", bucket_col(F.col("url"), n_buckets)))
+            path = f"{base}/seen_{n}"
+            (gen.repartitionByRange(sp, "bucket", "url")
+                .sortWithinPartitions("bucket", "url")
+                .write.mode("overwrite").parquet(path))
+            log = spark.read.parquet(path)
+            keys = (spark.range(n_keys)
+                    .select(F.concat(F.lit("http://h/p"),
+                                     F.col("id") * step).alias("url")))
+            keys.persist().count()
+
+            key = f"rows_{n:.0e}".replace("+0", "")
+            w = Window.partitionBy("url").orderBy(F.desc("round"))
+
+            def timed(fn, reps=3):
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    fn()
+                    ts.append(time.perf_counter() - t0)
+                return round(sorted(ts)[len(ts) // 2], 3)
+
+            # OLD: full-log window then join
+            def old_seen():
+                latest = (log.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1).drop("_rn"))
+                keys.join(latest, "url", "left").count()
+
+            # NEW: bucket prune + broadcast semi + windowed survivors
+            def new_seen():
+                bs = [r[0] for r in keys.select(
+                    bucket_col(F.col("url"), n_buckets).alias("b"))
+                    .distinct().collect()]
+                pruned = (log.filter(F.col("bucket").isin(bs))
+                          .join(F.broadcast(keys), "url", "left_semi"))
+                latest = (pruned.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1).drop("_rn"))
+                keys.join(latest, "url", "left").count()
+
+            # OLD: anti-join against full-table distinct
+            def old_anti():
+                keys.join(log.select("url").distinct(),
+                          "url", "left_anti").count()
+
+            # NEW: inverted membership (scan w/ broadcast build + prune)
+            def new_anti():
+                bs = [r[0] for r in keys.select(
+                    bucket_col(F.col("url"), n_buckets).alias("b"))
+                    .distinct().collect()]
+                present = (log.filter(F.col("bucket").isin(bs))
+                           .join(F.broadcast(keys), "url", "left_semi")
+                           .select("url").distinct())
+                keys.join(F.broadcast(present), "url", "left_anti").count()
+
+            out[key] = {"seen_old": timed(old_seen),
+                        "seen_new": timed(new_seen),
+                        "anti_old": timed(old_anti),
+                        "anti_new": timed(new_anti)}
+            keys.unpersist()
+        ks = list(out)
+        for m in ("seen_new", "anti_new", "seen_old", "anti_old"):
+            out[f"growth_10x_{m}"] = round(
+                out[ks[1]][m] / max(out[ks[0]][m], 1e-9), 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -35,6 +35,7 @@ class CheckpointCatalog:
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         self.manifest = self._load()
+        self._bytes_cache: dict = {}
 
     # -- manifest ---------------------------------------------------------
 
@@ -88,6 +89,25 @@ class CheckpointCatalog:
             return None
         paths = [os.path.join(self.root, r) for r in rels]
         return self.spark.read.parquet(*paths)
+
+    def table_bytes(self, table: str) -> int:
+        """Total on-disk bytes of a table's committed files (manifest
+        dir walk, no Spark job; cached per commit). Drives the engine's
+        adaptive bucket pruning — the Iceberg-manifest file-stats
+        analog."""
+        key = (table, self.manifest["committed_round"],
+               len(self.manifest["tables"].get(table) or ()))
+        cached = self._bytes_cache.get(key)
+        if cached is not None:
+            return cached
+        total = 0
+        for rel in self.manifest["tables"].get(table) or ():
+            root = os.path.join(self.root, rel)
+            for dirpath, _, files in os.walk(root):
+                total += sum(os.path.getsize(os.path.join(dirpath, f))
+                             for f in files if f.endswith(".parquet"))
+        self._bytes_cache[key] = total
+        return total
 
     @property
     def state(self) -> dict:

@@ -44,15 +44,38 @@ def make_video(media_id: str, w: int = 32, h: int = 24, fps: float = 10.0,
             "w": w, "h": h, "fps": fps, "n_frames": n_frames}
 
 
+def wav_wrap(pcm_payload: bytes, sample_rate: int,
+             n_channels: int = 1) -> bytes:
+    """Wrap raw little-endian int16 PCM in a RIFF/WAVE container via
+    the stdlib ``wave`` writer — the real-format twin of a pcm16 row
+    (same samples, so decode equality is the oracle)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm_payload)
+    return buf.getvalue()
+
+
 def generate_media(n_audio: int = 20, n_video: int = 10,
-                   opaque_every: int = 5) -> tuple[list[dict], list[dict]]:
+                   opaque_every: int = 5,
+                   wav_every: int = 3) -> tuple[list[dict], list[dict]]:
     """Audio + video fixture rows; every ``opaque_every``-th row gets an
-    opaque codec label (decode must go through the declared stub)."""
+    opaque codec label (decode must go through the declared stub), and
+    every ``wav_every``-th remaining audio row ships as a real WAV
+    container holding the identical samples."""
     audio = []
     for i in range(n_audio):
         row = make_audio(f"aud{i:04d}", duration_ms=150 + 25 * (i % 5))
         if opaque_every and i % opaque_every == opaque_every - 1:
             row["fmt"] = "opus"
+        elif wav_every and i % wav_every == wav_every - 1:
+            row["bytes"] = wav_wrap(row["bytes"], row["sample_rate"])
+            row["fmt"] = "wav"
         audio.append(row)
     video = []
     for i in range(n_video):

@@ -25,6 +25,7 @@ Everything derives from ``random.Random(seed)`` — same seed, same web.
 from __future__ import annotations
 
 import random
+import re
 from dataclasses import dataclass, field
 
 from ..functions import html as H
@@ -101,9 +102,43 @@ def _page_html(rng: random.Random, *, title_mode: str, container: str,
     )
 
 
+_DQ_ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def _messify(html: str, rng: random.Random) -> str:
+    """Rewrite canonical fixture HTML into the attribute/tag dialects
+    real pages use — single-quoted and unquoted attribute values,
+    mixed-case tag names — WITHOUT changing any attribute value or text
+    byte, so a dialect-tolerant parser must extract the identical
+    result (BeautifulSoup accepts all of these, ref crawler.py:520-561;
+    oracle = the clean twin of the same seed)."""
+
+    def requote(m: re.Match) -> str:
+        name, val = m.group(1), m.group(2)
+        r = rng.random()
+        if r < 0.35 and "'" not in val:
+            return f"{name}='{val}'"
+        if r < 0.55 and val and not re.search(r"[\s\"'=<>`]", val):
+            return f"{name}={val}"
+        return m.group(0)
+
+    def recase(m: re.Match) -> str:
+        name = m.group(2)
+        r = rng.random()
+        if r < 0.2:
+            name = name.upper()
+        elif r < 0.3:
+            name = name.capitalize()
+        return f"<{m.group(1)}{name}"
+
+    return _TAG_NAME.sub(recase, _DQ_ATTR.sub(requote, html))
+
+
 def generate_web(seed: int = 42, n_sites: int = 3,
                  pages_per_site: int = 40,
-                 fanout: tuple[int, int] = (2, 5)) -> WebFixture:
+                 fanout: tuple[int, int] = (2, 5),
+                 dialect: str = "clean") -> WebFixture:
     rng = random.Random(seed)
     seeds: list[dict] = []
     pages: list[dict] = []
@@ -255,6 +290,11 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             html = _page_html(rng, title_mode=title_mode, container=container,
                               body_text=body_text, links=targets,
                               images=images, lang_attr=lang_attr)
+            if dialect == "messy":
+                # dedicated per-page rng: the main rng's state must stay
+                # identical to the clean twin's, so clean/messy webs
+                # differ ONLY in markup dialect, never in structure
+                html = _messify(html, random.Random(f"{seed}:{s}:{pi}"))
 
             row = {
                 "url": url,

@@ -8,16 +8,19 @@ link discovery (crawler.py:1066-1072) and the ``<html lang>`` sniff
 by ``fixtures/webgen.py``.
 
 The container has neither BeautifulSoup/lxml nor trafilatura, so this
-is a hand-rolled parser: tag tokens are found by regex, but element
-extents are resolved by a depth-counting matcher (``_element_span``),
+is a hand-rolled parser: tag tokens are found by regex, element
+extents are resolved by a depth-counting matcher (``_element_span``) —
 so arbitrarily nested same-tag elements (``<div>`` in ``<div>``,
-``<nav>`` in ``<nav>``) extract correctly — the generic-HTML shape the
-reference gets from BeautifulSoup (crawler.py:520-561). Attributes are
-assumed double-quoted and tags lowercase (the fixture dialect; real
-crawls would add an attribute normalizer in front). The oracle
+``<nav>`` in ``<nav>``) extract correctly — and attributes go through
+a real tokenizer (:func:`parse_attrs`) accepting the quoting dialects
+browsers and BeautifulSoup accept: double-quoted, single-quoted,
+unquoted, and bare boolean attributes, with case-insensitive attribute
+and tag names and ``class`` matched by token membership. Remaining
+documented gap vs a full HTML5 tree builder: a literal ``>`` inside a
+quoted attribute value ends the tag token early. The oracle
 (``oracle/refcrawler.py``) calls these same kernels, so engine↔oracle
 extraction equality is by construction; extraction *truth* is pinned
-by direct unit tests over handcrafted nested documents, and the
+by direct unit tests over handcrafted nested/messy documents, and the
 equivalence suite tests the scheduling semantics (ordering, seen-set,
 politeness), which is the algorithmic content of the north rule.
 """
@@ -32,14 +35,41 @@ from .urls import is_valid_url, normalize_url
 from urllib.parse import urljoin
 
 _TAG = re.compile(r"<[^>]+>")
-_OG_TITLE = re.compile(
-    r'<meta\s+property="og:title"\s+content="([^"]*)"', re.IGNORECASE)
-_TITLE = re.compile(r"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _H1 = re.compile(r"<h1[^>]*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
-_HTML_LANG = re.compile(r'<html[^>]*\blang="([^"]*)"', re.IGNORECASE)
-_A_HREF = re.compile(r'<a\s[^>]*href="([^"]*)"', re.IGNORECASE)
-_IMG = re.compile(r"<img\s([^>]*)/?>", re.IGNORECASE)
-_ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+_META = re.compile(r"<meta\b([^>]*)>", re.IGNORECASE)
+_HTML_OPEN = re.compile(r"<html\b([^>]*)>", re.IGNORECASE)
+_A_TAG = re.compile(r"<a\b([^>]*)>", re.IGNORECASE)
+_IMG = re.compile(r"<img\b([^>]*)>", re.IGNORECASE)
+_ANY_OPEN = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\b([^>]*)>")
+# One attribute token: name, then optionally = double-quoted /
+# single-quoted / unquoted value (the three quoting forms browsers and
+# BeautifulSoup accept; a bare name is a boolean attribute → "").
+_ATTR_TOKEN = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*"""
+    r"""(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'=<>`]+)))?""",
+    re.DOTALL)
+
+
+def parse_attrs(tag_inner: str) -> dict[str, str]:
+    """Attribute dict of one tag's inside (everything between the tag
+    name and ``>``): names lowercased, first occurrence wins, values
+    from any quoting form — the generic-HTML attribute handling the
+    reference gets from BeautifulSoup (crawler.py:520-628 consumes
+    ``meta[property/content]``, ``a[href]``, ``img[src/alt/...]``,
+    ``html[lang]``, ``id``/``class`` selectors)."""
+    out: dict[str, str] = {}
+    for m in _ATTR_TOKEN.finditer(tag_inner):
+        name = m.group(1).lower()
+        if m.group(2) is not None:
+            val = m.group(2)
+        elif m.group(3) is not None:
+            val = m.group(3)
+        else:
+            val = m.group(4) or ""
+        if name not in out:
+            out[name] = val
+    return out
 # Reference decomposes these before text extraction (crawler.py:552-556).
 _STRIP_TAGS = ("nav", "header", "footer", "aside", "form", "script",
                "style", "iframe")
@@ -86,21 +116,26 @@ def _element_span(html: str, tag: str, open_end: int) -> tuple[int, int] | None:
 
 
 def _extract_element(html: str, kind: str, name: str) -> str | None:
-    """First matching element's inner HTML (nesting-aware), or None."""
+    """First matching element's inner HTML (nesting-aware), or None.
+    ``id`` matches exactly; ``class`` by token membership — the
+    BeautifulSoup ``find(id=...)`` / ``find(class_=...)`` semantics the
+    reference relies on (crawler.py:538-546)."""
     if kind == "tag":
         m = re.search(rf"<{name}\b[^>]*>", html, re.IGNORECASE)
         if not m:
             return None
         span = _element_span(html, name, m.end())
         return html[m.end():span[0]] if span else None
-    attr = "id" if kind == "id" else "class"
-    pat = re.compile(
-        rf'<([a-z0-9]+)\b[^>]*\b{attr}="{name}"[^>]*>', re.IGNORECASE)
-    m = pat.search(html)
-    if not m:
-        return None
-    span = _element_span(html, m.group(1), m.end())
-    return html[m.end():span[0]] if span else None
+    for m in _ANY_OPEN.finditer(html):
+        attrs = parse_attrs(m.group(2))
+        if kind == "id":
+            hit = attrs.get("id") == name
+        else:
+            hit = name in attrs.get("class", "").split()
+        if hit:
+            span = _element_span(html, m.group(1), m.end())
+            return html[m.end():span[0]] if span else None
+    return None
 
 
 def _strip_blocks(html: str) -> str:
@@ -119,12 +154,23 @@ def _strip_blocks(html: str) -> str:
         pos = m.start()
 
 
+def _og_title(html: str) -> str | None:
+    """content of the first ``<meta property="og:title">`` — attribute
+    order and quoting free (BeautifulSoup ``find("meta",
+    property="og:title")``, crawler.py:564-566)."""
+    for m in _META.finditer(html):
+        attrs = parse_attrs(m.group(1))
+        if attrs.get("property") == "og:title":
+            return attrs.get("content", "")
+    return None
+
+
 def get_title(html: str) -> str:
     """P6. Priority: og:title → <title> → first <h1> → 'Sans titre'
     (crawler.py:564-571)."""
-    m = _OG_TITLE.search(html)
-    if m and m.group(1).strip():
-        return m.group(1).strip()
+    og = _og_title(html)
+    if og and og.strip():
+        return og.strip()
     m = _TITLE.search(html)
     if m and m.group(1).strip():
         return m.group(1).strip()
@@ -161,8 +207,10 @@ def extract_main_content(html: str, selector: str | None = None) -> str:
 
 
 def get_lang_attr(html: str) -> str | None:
-    m = _HTML_LANG.search(html)
-    return m.group(1) if m else None
+    m = _HTML_OPEN.search(html)
+    if not m:
+        return None
+    return parse_attrs(m.group(1)).get("lang")
 
 
 class ImageRef(NamedTuple):
@@ -180,7 +228,7 @@ def extract_images(html: str, base_url: str, max_images: int = 5) -> list[dict]:
     for m in _IMG.finditer(html):
         if len(images) >= max_images:
             break
-        attrs = dict(_ATTR.findall(m.group(1)))
+        attrs = parse_attrs(m.group(1))
         src = attrs.get("src") or attrs.get("data-src") or attrs.get("data-lazy-src")
         alt = (attrs.get("alt") or "").strip()
         if not src:
@@ -209,8 +257,8 @@ def extract_links(html: str, final_url: str, seed_url: str) -> list[str]:
     from .urls import is_same_domain
 
     links: list[str] = []
-    for m in _A_HREF.finditer(html):
-        href = m.group(1)
+    for m in _A_TAG.finditer(html):
+        href = parse_attrs(m.group(1)).get("href")
         if not href:
             continue
         full = normalize_url(urljoin(final_url, href))

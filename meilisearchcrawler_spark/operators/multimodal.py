@@ -1,13 +1,15 @@
 """Multimodal (audio/video) column operators — opaque ``binary``
 payloads with typed metadata, processed by Arrow-batched kernels.
 
-Task-brief tier: the image/audio libs aren't in this container, so the
-*codec* for real formats is a clearly-marked stub
-(:func:`decode_audio` raises ``NotImplementedError`` for anything but
-the deterministic ``pcm16`` fixture format, and the kernels surface
-that as ``decode_ok=false`` rows — errors-as-data, never task
-failures). The Spark-side plumbing is real and tested: schemas, batch
-shapes, ``mapInPandas`` signatures, per-row error capture, and the
+Task-brief tier: audio decode handles a REAL container format — WAV
+(RIFF, 16-bit PCM, mono/multi-channel) via the stdlib ``wave`` module —
+plus the headerless ``pcm16``/``grayraw`` fixture codecs; compressed
+formats (opus/h264) remain clearly-marked stubs because their codec
+libraries aren't in this container, and the kernels surface every
+decode failure (unavailable codec OR malformed container) as
+``decode_ok=false`` rows — errors-as-data, never task failures. The
+Spark-side plumbing is real and tested: schemas, batch shapes,
+``mapInPandas`` signatures, per-row error capture, and the
 frame-sampling explode all behave exactly as they would with ffmpeg
 behind the decode call.
 
@@ -34,12 +36,31 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    """Decode one audio payload to int16 samples. Only the
-    deterministic fixture codec is implemented; real formats need an
-    audio library this container doesn't ship — the kernel catches the
+    """Decode one audio payload to mono int16 samples.
+
+    Real container support: ``wav`` (RIFF/WAVE, 16-bit PCM, any channel
+    count — multi-channel downmixes by per-frame mean) via the stdlib
+    ``wave`` module — zero new dependencies. ``pcm16`` is the headerless
+    fixture codec. Compressed formats (opus/h264-audio/...) need codec
+    libraries this container doesn't ship — the kernel catches the
     NotImplementedError and emits a decode_ok=false row."""
     if fmt == "pcm16":
         return np.frombuffer(payload, dtype="<i2")
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"wav: only 16-bit PCM supported, got "
+                    f"{8 * w.getsampwidth()}-bit")
+            data = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            nch = w.getnchannels()
+            if nch > 1:
+                data = np.rint(
+                    data.reshape(-1, nch).mean(axis=1)).astype("<i2")
+            return data
     raise NotImplementedError(f"audio codec not available in-container: {fmt}")
 
 
@@ -67,7 +88,9 @@ def audio_features(df: DataFrame) -> DataFrame:
                        "zero_cross_rate": None}
                 try:
                     x = decode_audio(row.bytes, row.fmt).astype(np.float64)
-                except NotImplementedError:
+                except Exception:
+                    # unavailable codec OR malformed container — both
+                    # are errors-as-data, never task failures
                     out.append(rec)
                     continue
                 n = len(x)
@@ -103,7 +126,7 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
                         "frame_hash": None, "mean_lum": None}
                 try:
                     frames = decode_frames(row.bytes, row.fmt, row.w, row.h)
-                except NotImplementedError:
+                except Exception:
                     out.append(base)
                     continue
                 for idx in range(0, len(frames), every_n):

@@ -117,11 +117,16 @@ def test_ordering_equivalence_default_budget(spark, web, tmp_path):
 
 
 def test_ordering_equivalence_wide_budget(spark, web, tmp_path):
-    """Budget ≠ reference default exercises the cutoff window."""
+    """Budget ≠ reference default exercises the cutoff window.
+    ``prune_min_bytes=0`` forces the bucket-pruned membership plans
+    (CrawlEngine._pruned) that production uses on corpus-sized
+    url_seen/visited/content_hashes — the pruned path must stay
+    exact-match, not just the small-table fallback."""
     fx, _ = web
     oracle = {s["site"]: crawl_site(fx, s, batch_size=7) for s in fx.seeds}
     eng = _run_engine(spark, web, tmp_path / "cat",
-                      CrawlConfig(round_budget=7, shuffle_partitions=4))
+                      CrawlConfig(round_budget=7, shuffle_partitions=4,
+                                  prune_min_bytes=0))
     _assert_equivalent(eng, oracle)
 
 
@@ -240,3 +245,31 @@ def test_politeness_budget_guarantee(spark, web, tmp_path):
     n_docs = docs_df.count()
     n_oracle = sum(len(o.documents) for o in oracle.values())
     assert abs(n_docs - n_oracle) <= 0.1 * n_oracle, (n_docs, n_oracle)
+
+
+def test_messy_dialect_equivalence(spark, tmp_path):
+    """End-to-end crawl over the messy-markup twin web (single-quoted /
+    unquoted attributes, mixed-case tags — the dialects BeautifulSoup
+    accepts, ref crawler.py:520-561): the engine must stay exact-match
+    vs the sequential oracle on the messy fixture, and index the same
+    document set as the clean twin (markup dialect must not leak into
+    extraction)."""
+    fx = generate_web(seed=7, n_sites=3, pages_per_site=40, dialect="messy")
+    paths = write_parquet(fx, str(tmp_path / "web"))
+    oracle = {s["site"]: crawl_site(fx, s, batch_size=2) for s in fx.seeds}
+    eng = CrawlEngine(spark, str(tmp_path / "cat"), paths["pages"],
+                      fx.seeds, fx.robots,
+                      CrawlConfig(round_budget=2, shuffle_partitions=4),
+                      initial_url_seen=fx.url_seen)
+    eng.run(max_rounds=300)
+    _assert_equivalent(eng, oracle)
+    # dialect must not change WHAT gets indexed vs the clean twin
+    clean = generate_web(seed=7, n_sites=3, pages_per_site=40)
+    clean_oracle = {s["site"]: crawl_site(clean, s, batch_size=2)
+                    for s in clean.seeds}
+    for site, orc in oracle.items():
+        want = {(d["url"], d["title"], d["content_hash"])
+                for d in clean_oracle[site].documents}
+        got = {(d["url"], d["title"], d["content_hash"])
+               for d in orc.documents}
+        assert got == want, f"{site}: messy vs clean corpus diverges"

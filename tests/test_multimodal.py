@@ -29,12 +29,23 @@ def test_audio_features_exact(spark):
     df = spark.createDataFrame(audio, schema=AUDIO_SCHEMA)
     got = {r["media_id"]: r for r in audio_features(df).collect()}
     assert len(got) == 20
+    n_wav = 0
     for row in audio:
         g = got[row["media_id"]]
-        if row["fmt"] != "pcm16":
+        if row["fmt"] not in ("pcm16", "wav"):
             assert g["decode_ok"] is False and g["rms"] is None
             continue
-        x = np.frombuffer(row["bytes"], dtype="<i2").astype(np.float64)
+        if row["fmt"] == "wav":
+            # independent stdlib-wave oracle for the real container path
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(row["bytes"]), "rb") as w:
+                x = np.frombuffer(w.readframes(w.getnframes()),
+                                  dtype="<i2").astype(np.float64)
+            n_wav += 1
+        else:
+            x = np.frombuffer(row["bytes"], dtype="<i2").astype(np.float64)
         assert g["decode_ok"] is True
         assert g["n_samples"] == len(x)
         assert math.isclose(g["duration_ms"],
@@ -42,6 +53,7 @@ def test_audio_features_exact(spark):
         assert math.isclose(g["rms"], round(float(np.sqrt(np.mean(x ** 2))), 4))
         assert math.isclose(g["peak"], round(float(np.max(np.abs(x))), 4))
     assert sum(1 for r in got.values() if not r["decode_ok"]) == 4  # opus rows
+    assert n_wav == 5  # real-container rows actually exercised
 
 
 def test_frame_sampling_exact(spark):
@@ -75,3 +87,38 @@ def test_stub_is_declared_not_silent():
         decode_audio(b"\x00", "opus")
     with pytest.raises(NotImplementedError):
         decode_frames(b"\x00", "h264", 4, 4)
+
+
+def test_wav_codec_semantics():
+    """The WAV path is a real container decode: byte-identical samples
+    to its pcm16 twin, stereo downmix by per-frame mean, 8-bit depth
+    and malformed containers rejected (the latter as errors-as-data in
+    the kernel)."""
+    import io
+    import wave
+
+    import pytest
+
+    from meilisearchcrawler_spark.fixtures.mediagen import make_audio, wav_wrap
+
+    row = make_audio("twin0001")
+    pcm = np.frombuffer(row["bytes"], dtype="<i2")
+    got = decode_audio(wav_wrap(row["bytes"], row["sample_rate"]), "wav")
+    assert np.array_equal(got, pcm)
+
+    stereo = np.stack([pcm, np.roll(pcm, 1)], axis=1).astype("<i2")
+    got2 = decode_audio(wav_wrap(stereo.tobytes(), row["sample_rate"],
+                                 n_channels=2), "wav")
+    want2 = np.rint(stereo.astype(np.float64).mean(axis=1)).astype("<i2")
+    assert np.array_equal(got2, want2)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)           # 8-bit: unsupported depth
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01")
+    with pytest.raises(NotImplementedError):
+        decode_audio(buf.getvalue(), "wav")
+    with pytest.raises(Exception):
+        decode_audio(b"RIFFgarbage", "wav")   # malformed container
