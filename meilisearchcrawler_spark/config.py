@@ -107,7 +107,7 @@ class CrawlConfig:
     # range-partitions + sorts by it, so the per-round membership reads
     # prune files via parquet min/max stats instead of scanning (the
     # Iceberg bucket-transform partition spec). Production: 4096.
-    seen_buckets: int = 64
+    seen_buckets: int = 1024
     # Adaptive pruning floor: collecting the round's bucket list costs
     # one small driver job, which only pays once the table is big
     # enough that file-skipping matters — below this on-disk size the

@@ -176,21 +176,30 @@ def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
 
 
 def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
-                     n_keys: int = 500, n_buckets: int = 64) -> dict:
+                     n_buckets: int = 1024, n_files: int = 256) -> dict:
     """Round-3 scale gate probe (round-2 verdict next-step #1): the
     per-round url_seen conditional-header lookup and the visited
-    anti-join must stay ~flat as the corpus tables grow 10×.
+    membership check must not inherit the corpus's growth.
 
-    For each size, materializes the table in the engine's compacted
-    bucket layout (bucket = pmod(xxhash64(url), n_buckets), range-
-    partitioned + sorted, as CrawlEngine._compact writes it), then
-    times BOTH plan shapes over an identical ~n_keys round key set:
+    Two regimes, because they stress different mechanisms:
 
-    * ``old``  — what round 2 shipped: full-table latest-wins window /
-      full-table distinct feeding the join.
-    * ``new``  — what the engine now runs: bucket-pruned file-skipping
-      scan → broadcast semi-join → window/membership over only the
-      round's keys (CrawlEngine._seen_for / _present_keys).
+    * ``pruned`` (32-key round, production-shaped layout: 1024 buckets
+      over 256 range-partitioned files) — the bucket In-filter skips
+      ~(1 - keys/files) of the table's files, so the lookup tracks the
+      ROUND size, not the corpus. This is the politeness-bounded-round
+      shape.
+    * ``scan`` (500-key round) — keys hit most buckets, pruning is
+      moot by pigeonhole, and the win is structural: the new plan is
+      one broadcast-filtered columnar SCAN (no shuffle, no full-table
+      window/distinct), where the old plan exchanged every corpus row.
+      A single box hides shuffle cost (RAM-speed "network"); on a real
+      cluster the scan-vs-shuffle gap is the point, and a large round
+      amortizes the scan over 10^6 keys.
+
+    ``old`` = round 2's shipped shapes (full-table latest-wins window /
+    full-table distinct). ``new`` = what the engine now runs
+    (CrawlEngine._seen_for / _present_keys, including the driver-side
+    bucket-list collect).
     """
     import shutil
     import tempfile as _tf
@@ -199,12 +208,10 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
 
     from .crawler import bucket_col
 
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out: dict = {}
     base = _tf.mkdtemp(prefix="mcspark_seenprobe_")
     try:
         for n in sizes:
-            step = n // n_keys
             gen = (spark.range(n)
                    .select(F.concat(F.lit("http://h/p"), F.col("id"))
                            .alias("url"),
@@ -213,17 +220,10 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                            (F.col("id") % 20).cast("int").alias("round"))
                    .withColumn("bucket", bucket_col(F.col("url"), n_buckets)))
             path = f"{base}/seen_{n}"
-            (gen.repartitionByRange(sp, "bucket", "url")
+            (gen.repartitionByRange(n_files, "bucket", "url")
                 .sortWithinPartitions("bucket", "url")
                 .write.mode("overwrite").parquet(path))
             log = spark.read.parquet(path)
-            keys = (spark.range(n_keys)
-                    .select(F.concat(F.lit("http://h/p"),
-                                     F.col("id") * step).alias("url")))
-            keys.persist().count()
-
-            key = f"rows_{n:.0e}".replace("+0", "")
-            w = Window.partitionBy("url").orderBy(F.desc("round"))
 
             def timed(fn, reps=3):
                 ts = []
@@ -233,47 +233,56 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                     ts.append(time.perf_counter() - t0)
                 return round(sorted(ts)[len(ts) // 2], 3)
 
-            # OLD: full-log window then join
-            def old_seen():
-                latest = (log.withColumn("_rn", F.row_number().over(w))
-                          .filter(F.col("_rn") == 1).drop("_rn"))
-                keys.join(latest, "url", "left").count()
+            key = f"rows_{n:.0e}".replace("+0", "")
+            out[key] = {}
+            w = Window.partitionBy("url").orderBy(F.desc("round"))
+            for regime, n_keys in (("pruned", 32), ("scan", 500)):
+                step = n // n_keys
+                keys = (spark.range(n_keys)
+                        .select(F.concat(F.lit("http://h/p"),
+                                         F.col("id") * step).alias("url")))
+                keys.persist().count()
 
-            # NEW: bucket prune + broadcast semi + windowed survivors
-            def new_seen():
-                bs = [r[0] for r in keys.select(
-                    bucket_col(F.col("url"), n_buckets).alias("b"))
-                    .distinct().collect()]
-                pruned = (log.filter(F.col("bucket").isin(bs))
-                          .join(F.broadcast(keys), "url", "left_semi"))
-                latest = (pruned.withColumn("_rn", F.row_number().over(w))
-                          .filter(F.col("_rn") == 1).drop("_rn"))
-                keys.join(latest, "url", "left").count()
+                def old_seen():
+                    latest = (log.withColumn("_rn", F.row_number().over(w))
+                              .filter(F.col("_rn") == 1).drop("_rn"))
+                    keys.join(latest, "url", "left").count()
 
-            # OLD: anti-join against full-table distinct
-            def old_anti():
-                keys.join(log.select("url").distinct(),
-                          "url", "left_anti").count()
+                def new_seen():
+                    bs = [r[0] for r in keys.select(
+                        bucket_col(F.col("url"), n_buckets).alias("b"))
+                        .distinct().collect()]
+                    pruned = (log.filter(F.col("bucket").isin(bs))
+                              .join(F.broadcast(keys), "url", "left_semi"))
+                    latest = (pruned.withColumn("_rn",
+                                                F.row_number().over(w))
+                              .filter(F.col("_rn") == 1).drop("_rn"))
+                    keys.join(latest, "url", "left").count()
 
-            # NEW: inverted membership (scan w/ broadcast build + prune)
-            def new_anti():
-                bs = [r[0] for r in keys.select(
-                    bucket_col(F.col("url"), n_buckets).alias("b"))
-                    .distinct().collect()]
-                present = (log.filter(F.col("bucket").isin(bs))
-                           .join(F.broadcast(keys), "url", "left_semi")
-                           .select("url").distinct())
-                keys.join(F.broadcast(present), "url", "left_anti").count()
+                def old_anti():
+                    keys.join(log.select("url").distinct(),
+                              "url", "left_anti").count()
 
-            out[key] = {"seen_old": timed(old_seen),
-                        "seen_new": timed(new_seen),
-                        "anti_old": timed(old_anti),
-                        "anti_new": timed(new_anti)}
-            keys.unpersist()
+                def new_anti():
+                    bs = [r[0] for r in keys.select(
+                        bucket_col(F.col("url"), n_buckets).alias("b"))
+                        .distinct().collect()]
+                    present = (log.filter(F.col("bucket").isin(bs))
+                               .join(F.broadcast(keys), "url", "left_semi")
+                               .select("url").distinct())
+                    keys.join(F.broadcast(present),
+                              "url", "left_anti").count()
+
+                out[key][regime] = {"seen_old": timed(old_seen),
+                                    "seen_new": timed(new_seen),
+                                    "anti_old": timed(old_anti),
+                                    "anti_new": timed(new_anti)}
+                keys.unpersist()
         ks = list(out)
-        for m in ("seen_new", "anti_new", "seen_old", "anti_old"):
-            out[f"growth_10x_{m}"] = round(
-                out[ks[1]][m] / max(out[ks[0]][m], 1e-9), 2)
+        for regime in ("pruned", "scan"):
+            for m in ("seen_new", "anti_new", "seen_old", "anti_old"):
+                out[f"growth_10x_{regime}_{m}"] = round(
+                    out[ks[1]][regime][m] / max(out[ks[0]][regime][m], 1e-9), 2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
