@@ -36,7 +36,7 @@ def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
     if key in _FIXTURE_CACHE:
         return _FIXTURE_CACHE[key]
     base = base_dir or os.path.join(tempfile.gettempdir(), "mcspark_benchweb")
-    out = os.path.join(base, f"s{seed}_n{n_sites}_p{pages_per_site}_f{fanout[0]}")
+    out = os.path.join(base, f"v3_s{seed}_n{n_sites}_p{pages_per_site}_f{fanout[0]}")
     marker = os.path.join(out, "_DONE")
     fx = generate_web(seed=seed, n_sites=n_sites, pages_per_site=pages_per_site,
                       fanout=fanout)

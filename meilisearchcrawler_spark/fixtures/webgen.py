@@ -64,6 +64,18 @@ def _sentences(rng: random.Random, n: int) -> str:
     return " ".join(_para(rng, rng.randint(6, 14)) for _ in range(n))
 
 
+# in-container boilerplate variants — exercise the reference's
+# class/aria decompose rules (crawler.py:558-561); no <a> tags (link
+# discovery scans the whole document on both sides, crawler.py:1066)
+_BOILER = [
+    '<div class="sidebar">sidebar junk widget text</div>',
+    '<div class="social-share">Partager sur les réseaux</div>',
+    '<span aria-hidden="true">&#215;</span>',
+    '<div class="promo-banner">promo cookie banner text</div>',
+    '<div class="related-posts">related reading list</div>',
+]
+
+
 def _page_html(rng: random.Random, *, title_mode: str, container: str,
                body_text: str, links: list[str], images: list[dict],
                lang_attr: str | None) -> str:
@@ -78,13 +90,18 @@ def _page_html(rng: random.Random, *, title_mode: str, container: str,
         for im in images
     )
     a_tags = "".join(f'<a href="{href}">l</a>' for href in links)
-    inner = f"{h1}<p>{body_text}</p>{img_tags}{a_tags}"
+    boiler = rng.choice(_BOILER) if rng.random() < 0.35 else ""
+    inner = f"{h1}<p>{body_text}</p>{boiler}{img_tags}{a_tags}"
     if container == "main":
         body = f"<main>{inner}</main>"
     elif container == "article":
         body = f"<article>{inner}</article>"
     elif container == "content_div":
         body = f'<div id="content">{inner}</div>'
+    elif container == "role_main":
+        body = f'<div role="main">{inner}</div>'
+    elif container == "post_content":
+        body = f'<div class="post-content wrap">{inner}</div>'
     elif container == "nested_div":
         # nested same-tag elements: extraction must find the MATCHING
         # close, not the first one (generic-HTML shape, crawler.py:520-561)
@@ -284,7 +301,7 @@ def generate_web(seed: int = 42, n_sites: int = 3,
             container = (
                 "content_div" if selector else
                 rng.choice(["main", "article", "content_div", "plain",
-                            "nested_div"])
+                            "nested_div", "role_main", "post_content"])
             )
             lang_attr = rng.choice(["fr-FR", "en-US", "en", None])
             html = _page_html(rng, title_mode=title_mode, container=container,

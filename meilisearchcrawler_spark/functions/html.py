@@ -70,22 +70,39 @@ def parse_attrs(tag_inner: str) -> dict[str, str]:
         if name not in out:
             out[name] = val
     return out
-# Reference decomposes these before text extraction (crawler.py:552-556).
+
+
+# Reference decomposes these before text extraction (crawler.py:558-561):
+# tag names, exact class names, class substrings, and aria-hidden.
 _STRIP_TAGS = ("nav", "header", "footer", "aside", "form", "script",
                "style", "iframe")
-_STRIP_OPEN = re.compile(
-    rf"<({'|'.join(_STRIP_TAGS)})\b[^>]*>", re.IGNORECASE)
+_STRIP_CLASSES = frozenset((
+    "sidebar", "widget", "social-share", "related-posts", "comments",
+    "comment", "advertisement", "ad", "ads"))
+_STRIP_CLASS_SUBSTR = ("share", "related", "sidebar", "widget", "promo",
+                       "cookie")
 # Elements that never close — a nested matcher must not count them.
 _VOID_TAGS = frozenset(
     "img br meta link input hr area base col embed source track wbr".split())
-# Candidate selectors, in reference priority order (crawler.py:538-540);
-# restricted to the shapes the fixture dialect emits.
+# Candidate selectors, in reference priority order (crawler.py:532-534):
+# best (longest-text) match wins, accepted at ≥250 chars.
 _CANDIDATES: list[tuple[str, str]] = [
     ("tag", "article"),
     ("tag", "main"),
+    ("role", "main"),
+    ("class", "post-content"),
+    ("class", "entry-content"),
+    ("class", "article-content"),
+    ("class", "content-main"),
+    ("class", "main-content"),
     ("id", "content"),
     ("class", "content"),
+    ("class", "mw-parser-output"),
 ]
+# Body-fallback skips these when hunting the densest element
+# (crawler.py:546-548).
+_SKIP_DENSE = frozenset(
+    "nav header footer aside script style a form".split())
 
 
 def get_text(fragment: str) -> str:
@@ -130,6 +147,8 @@ def _extract_element(html: str, kind: str, name: str) -> str | None:
         attrs = parse_attrs(m.group(2))
         if kind == "id":
             hit = attrs.get("id") == name
+        elif kind == "role":
+            hit = attrs.get("role") == name
         else:
             hit = name in attrs.get("class", "").split()
         if hit:
@@ -140,18 +159,60 @@ def _extract_element(html: str, kind: str, name: str) -> str | None:
 
 def _strip_blocks(html: str) -> str:
     """Remove boilerplate elements with their entire (possibly nested)
-    subtrees — the ``decompose()`` analog of crawler.py:552-556."""
+    subtrees — the ``decompose()`` analog of crawler.py:558-561:
+    boilerplate TAGS plus the sidebar/widget/share/related/promo/cookie
+    class rules and ``aria-hidden="true"``."""
     pos = 0
     while True:
-        m = _STRIP_OPEN.search(html, pos)
+        m = _ANY_OPEN.search(html, pos)
         if not m:
             return html
-        span = _element_span(html, m.group(1), m.end())
+        tag = m.group(1).lower()
+        if tag in _VOID_TAGS:
+            pos = m.end()
+            continue
+        strip = tag in _STRIP_TAGS
+        if not strip and m.group(2):
+            attrs = parse_attrs(m.group(2))
+            cls = attrs.get("class", "")
+            strip = (attrs.get("aria-hidden") == "true"
+                     or (cls != "" and (
+                         any(c in _STRIP_CLASSES for c in cls.split())
+                         or any(s in cls for s in _STRIP_CLASS_SUBSTR))))
+        if not strip:
+            pos = m.end()
+            continue
+        span = _element_span(html, tag, m.end())
         if span is None:
             # unclosed boilerplate swallows the rest of the document
             return html[:m.start()]
         html = html[:m.start()] + " " + html[span[1]:]
         pos = m.start()
+
+
+def _densest_element(body: str) -> str:
+    """The densest (longest-text) non-boilerplate element inside the
+    body — the reference's last-resort fallback (crawler.py:543-553:
+    ``soup.body.find_all(True)`` minus nav/header/footer/aside/script/
+    style/a/form, strictly-greater text length wins, default the body
+    itself). Text length approximates ``get_text(strip=True)`` via
+    whitespace-free character count; elements whose raw inner span
+    cannot beat the current best are skipped without a text pass."""
+    best, best_len = body, 0
+    for m in _ANY_OPEN.finditer(body):
+        tag = m.group(1).lower()
+        if tag in _SKIP_DENSE or tag in _VOID_TAGS:
+            continue
+        span = _element_span(body, tag, m.end())
+        if span is None:
+            continue
+        if span[0] - m.end() <= best_len:
+            continue
+        inner = body[m.end():span[0]]
+        tlen = len(get_text(inner).replace(" ", ""))
+        if tlen > best_len:
+            best, best_len = inner, tlen
+    return best
 
 
 def _og_title(html: str) -> str | None:
@@ -181,10 +242,23 @@ def get_title(html: str) -> str:
 
 
 def extract_main_content(html: str, selector: str | None = None) -> str:
-    """P7 over the fixture dialect, reference decision order
-    (crawler.py:520-561): explicit site selector wins; else the best
-    (longest-text) candidate selector; else stripped-body fallback.
-    Boilerplate blocks are removed before text extraction."""
+    """P7 — the reference's extraction decision order (crawler.py:
+    520-561) minus the trafilatura step (a third-party extraction
+    library that is not in this container and whose output is not
+    spec-able to byte equality; the surrounding decision order — its
+    >250-char accept gate included — is the reference's own
+    "heuristique maison" fallback, implemented here exactly):
+
+    1. explicit site selector wins, returned WITHOUT boilerplate
+       stripping (ref :523-526 returns immediately);
+    2. else the best (longest-text) candidate selector from the full
+       reference list (article/main/[role=main]/.post-content/... ,
+       ref :532-540), accepted at ≥250 chars;
+    3. else the densest non-boilerplate element inside <body>
+       (ref :543-553); a document with no <body> yields "";
+    4. boilerplate subtrees (tags + sidebar/widget/share/... classes +
+       aria-hidden, ref :558-561) are decomposed from the chosen
+       target before text extraction."""
     if selector:
         kind = "id" if selector.startswith("#") else "class" if selector.startswith(".") else "tag"
         inner = _extract_element(html, kind, selector.lstrip("#."))
@@ -201,9 +275,10 @@ def extract_main_content(html: str, selector: str | None = None) -> str:
         target = best
     else:
         body = _extract_element(html, "tag", "body")
-        target = body if body is not None else html
-    target = _strip_blocks(target)
-    return get_text(target)
+        if body is None:
+            return ""
+        target = _densest_element(body)
+    return get_text(_strip_blocks(target))
 
 
 def get_lang_attr(html: str) -> str | None:

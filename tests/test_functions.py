@@ -332,3 +332,58 @@ class TestMessyDialect:
             b = H.parse_page(pm["html"], pm["url"], seed_url, None)
             assert a == b, pc["url"]
         assert n_diff > 30, "messifier changed too few pages to matter"
+
+
+class TestHeuristiqueMaison:
+    """P7 full reference fallback heuristic (crawler.py:520-561, minus
+    the out-of-scope trafilatura step): wide candidate list, ≥250-char
+    accept gate, densest-body-element fallback, class/aria decompose
+    rules, selector path returns WITHOUT decompose, no <body> → ''."""
+
+    def test_role_main_candidate(self):
+        body = '<div role=main><p>' + "word " * 80 + "</p></div><footer>f</footer>"
+        got = H.extract_main_content(f"<html><body>{body}</body></html>")
+        assert got.startswith("word word")
+        assert "f" != got[-1]
+
+    def test_post_content_candidate(self):
+        body = ('<div class="post-content wrap"><p>' + "word " * 80
+                + "</p></div>")
+        got = H.extract_main_content(f"<html><body>{body}</body></html>")
+        assert got.startswith("word word")
+
+    def test_candidate_under_250_falls_to_densest(self):
+        # main has <250 chars → densest body element wins (the long div)
+        body = ('<main>short main text</main>'
+                '<div><p>' + "long " * 80 + "</p></div>")
+        got = H.extract_main_content(f"<html><body>{body}</body></html>")
+        assert got.startswith("long long")
+        assert "short main text" not in got
+
+    def test_densest_skips_boilerplate_tags(self):
+        # nav holds the longest text but is never the target; the p wins
+        body = ("<nav>" + "menu " * 100 + "</nav><p>real text</p>")
+        got = H.extract_main_content(f"<html><body>{body}</body></html>")
+        assert got == "real text"
+
+    def test_class_decompose_rules(self):
+        inner = ('<p>' + "word " * 80 + '</p>'
+                 '<div class="sidebar">sidebar junk</div>'
+                 '<div class="my-share-buttons">share me</div>'
+                 '<span aria-hidden="true">x</span>'
+                 '<div class="promotion">promo text</div>')
+        got = H.extract_main_content(
+            f'<html><body><article>{inner}</article></body></html>')
+        for bad in ("sidebar junk", "share me", "promo text"):
+            assert bad not in got
+        assert got.startswith("word word")
+
+    def test_selector_path_skips_decompose(self):
+        # ref :523-526 returns the selector match immediately — the
+        # sidebar text stays (BeautifulSoup get_text of the element)
+        html = ('<html><body><div id="zone"><p>zone text</p>'
+                '<div class="sidebar">kept junk</div></div></body></html>')
+        assert H.extract_main_content(html, "#zone") == "zone text kept junk"
+
+    def test_no_body_yields_empty(self):
+        assert H.extract_main_content("<html><p>floating</p></html>") == ""
