@@ -161,15 +161,21 @@ def local_topk(frontier: DataFrame, prefix_k: int) -> DataFrame:
 
 
 def candidate_prefix(frontier: DataFrame, prefix_k: int) -> DataFrame:
-    """Two-phase per-site top-``prefix_k`` prefix of the frontier in
-    heap order (depth desc, counter asc), with ``_rank``. The global
-    window (phase 2) only sees the union of per-partition prefixes —
-    ≤ partitions × K rows per site — so the per-site sort cost is flat
-    in total frontier size (replaces the full per-site row_number sort
-    that was the 100×-scale bottleneck); what remains is one
-    embarrassingly-parallel frontier scan."""
+    """Tree-reduced per-site top-``prefix_k`` prefix of the frontier in
+    heap order (depth desc, counter asc), with ``_rank``.
+
+    Phase 1: per-partition per-site top-K (shuffle-free Arrow scan).
+    Phase 2: one hash exchange on site, then the same streaming top-K
+    kernel again — now exact per-site top-K, holding ≤ K rows per site
+    at any moment. The final rank window therefore sorts ≤ sites × K
+    rows TOTAL, regardless of frontier size, partition count, or how
+    large ``prefix_k`` is relative to per-partition row counts (a plain
+    two-phase prefix degenerates to a full per-site window sort when
+    K ≥ rows/partition/site — exactly the big-budget production case).
+    What remains O(frontier) is one embarrassingly-parallel scan."""
     w = Window.partitionBy("site").orderBy(F.desc("depth"), F.asc("counter"))
-    return (local_topk(frontier, prefix_k)
+    return (local_topk(local_topk(frontier, prefix_k)
+                       .repartition("site"), prefix_k)
             .withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") <= prefix_k))
 
