@@ -116,40 +116,15 @@ def main() -> None:
     except Exception as exc:
         print(f"# image bench skipped: {exc}", file=sys.stderr)
 
-    # frontier pop-selection at production frontier sizes: two-phase
-    # top-K must stay ~flat as the frontier grows 10x.
+    # frontier pop-selection at production frontier sizes: the round-4
+    # histogram-pruned on-disk layout must hold the scan ~flat as the
+    # frontier grows 10x, vs the round-3 full-scan shape (old).
     pop_scale = None
     try:
-        from pyspark.sql import functions as F
-
-        from meilisearchcrawler_spark.engine.crawler import candidate_prefix
-
-        def _synth_frontier(n: int):
-            return (spark.range(n)
-                    .select(F.concat(F.lit("site"), (F.col("id") % 4))
-                            .alias("site"),
-                            F.concat(F.lit("http://h/p"), F.col("id"))
-                            .alias("url"),
-                            F.concat(F.lit("h"), (F.col("id") % 97))
-                            .alias("host"),
-                            (F.xxhash64("id") % 5).cast("int").alias("depth"),
-                            F.col("id").alias("counter"))
-                    .repartition(int(cpus)))
-
-        pop_scale = {}
-        for n in (1_000_000, 10_000_000):
-            fr = _synth_frontier(n)
-            fr.persist().count()          # isolate selection cost from gen
-            candidate_prefix(fr, prefix_k=80).count()   # codegen warm-up
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                candidate_prefix(fr, prefix_k=80).count()
-                ts.append(time.perf_counter() - t0)
-            pop_scale[f"rows_{n:.0e}".replace("+0", "")] = round(sorted(ts)[1], 3)
-            fr.unpersist()
-        vals = list(pop_scale.values())
-        pop_scale["growth_10x"] = round(vals[1] / max(vals[0], 1e-9), 2)
+        from meilisearchcrawler_spark.engine.bench_crawl import (
+            frontier_pop_probe,
+        )
+        pop_scale = frontier_pop_probe(spark, reps=REPEAT)
         print(f"# frontier_pop scale: {pop_scale}", file=sys.stderr)
     except Exception as exc:
         print(f"# frontier pop bench skipped: {exc}", file=sys.stderr)

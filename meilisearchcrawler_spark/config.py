@@ -108,6 +108,13 @@ class CrawlConfig:
     # prune files via parquet min/max stats instead of scanning (the
     # Iceberg bucket-transform partition spec). Production: 4096.
     seen_buckets: int = 1024
+    # Ceiling (rows) for FORCING a broadcast hint on round-scoped key
+    # sets (admitted keys, discovered-link keys, membership results).
+    # The hint overrides Spark's size threshold, so an unguarded hint
+    # on a 10^7-link round would OOM the driver/executors; above this
+    # bound the join is left to Spark's own strategy (AQE still
+    # broadcasts at runtime if the actual size turns out small).
+    broadcast_key_rows: int = 4_000_000
     # Adaptive pruning floor: collecting the round's bucket list costs
     # one small driver job, which only pays once the table is big
     # enough that file-skipping matters — below this on-disk size the

@@ -175,6 +175,90 @@ def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
             "images_per_sec": round(stats["n"] / sec, 1)}
 
 
+def frontier_pop_probe(spark: SparkSession,
+                       sizes=(1_000_000, 10_000_000),
+                       prefix_k: int = 80, n_sites: int = 4,
+                       reps: int = 5) -> dict:
+    """Round-4 scale gate (round-3 verdict next-step #1): the per-round
+    pop-selection scan must stop inheriting the frontier's growth.
+
+    ``old`` = the round-3 shape: ``candidate_prefix`` over a full scan
+    of an unclustered on-disk frontier (measured growth 4.08x/10x in
+    BENCH_r03). ``new`` = what the engine now runs after a compaction:
+    the snapshot is depth/counter-range-partitioned + sorted, a
+    per-(site, depth) histogram picks the ``depth > g OR (depth = g AND
+    counter <= c)`` cutoff (``pop_cutoff``), and the pushed predicate
+    file-skips everything outside the needed band — so the scan tracks
+    sites x prefix_k, not the frontier size. The cutoff computation is
+    timed (it runs per round); the histogram is not (it runs at
+    compaction, amortized, like the layout write itself).
+
+    Depths are uniform over 0..4 — the pruning-hostile shape (every
+    band is 20% of the corpus); a production frontier's thin deep band
+    prunes even harder."""
+    import shutil
+    import statistics
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from .crawler import candidate_prefix, frontier_hist, pop_cutoff
+
+    out: dict = {}
+    base = _tf.mkdtemp(prefix="mcspark_popprobe_")
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        for n in sizes:
+            fr = (spark.range(n)
+                  .select(F.concat(F.lit("site"), (F.col("id") % n_sites))
+                          .alias("site"),
+                          F.concat(F.lit("http://h/p"), F.col("id"))
+                          .alias("url"),
+                          F.concat(F.lit("h"), (F.col("id") % 97))
+                          .alias("host"),
+                          (F.xxhash64("id") % 5).cast("int").alias("depth"),
+                          F.col("id").alias("counter")))
+            old_path, new_path = f"{base}/old_{n}", f"{base}/new_{n}"
+            fr.repartition(sp).write.mode("overwrite").parquet(old_path)
+            (fr.repartitionByRange(max(sp * 2, 8), "depth", "counter")
+               .sortWithinPartitions("depth", "counter")
+               .write.mode("overwrite").parquet(new_path))
+            hist = frontier_hist(spark.read.parquet(new_path))
+            sites = [f"site{i}" for i in range(n_sites)]
+
+            def run_old():
+                candidate_prefix(spark.read.parquet(old_path),
+                                 prefix_k).count()
+
+            def run_new():
+                cut = pop_cutoff(hist, {s: prefix_k for s in sites})
+                df = spark.read.parquet(new_path)
+                if cut is not None:
+                    g, c = cut
+                    df = df.filter(
+                        (F.col("depth") > g)
+                        | ((F.col("depth") == g) & (F.col("counter") <= c)))
+                candidate_prefix(df, prefix_k).count()
+
+            key = f"rows_{n:.0e}".replace("+0", "")
+            out[key] = {}
+            for name, fn in (("old", run_old), ("new", run_new)):
+                fn()  # codegen/file-listing warm-up
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    fn()
+                    ts.append(time.perf_counter() - t0)
+                out[key][name] = round(statistics.median(ts), 3)
+        ks = list(out)
+        for m in ("old", "new"):
+            out[f"growth_10x_{m}"] = round(
+                out[ks[1]][m] / max(out[ks[0]][m], 1e-9), 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                      n_buckets: int = 1024, n_files: int = 256) -> dict:
     """Round-3 scale gate probe (round-2 verdict next-step #1): the
@@ -225,7 +309,7 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                 .write.mode("overwrite").parquet(path))
             log = spark.read.parquet(path)
 
-            def timed(fn, reps=3):
+            def timed(fn, reps=5):
                 ts = []
                 for _ in range(reps):
                     t0 = time.perf_counter()

@@ -90,23 +90,52 @@ class CheckpointCatalog:
         paths = [os.path.join(self.root, r) for r in rels]
         return self.spark.read.parquet(*paths)
 
+    def read_split(self, table: str) -> tuple[DataFrame | None, DataFrame | None]:
+        """``(compacted snapshot, post-compaction deltas)`` — readers
+        that apply stats-pruned predicates to the clustered snapshot
+        (frontier depth-band / bucket layouts) read the two tiers
+        separately; deltas since the last compaction are bounded by
+        ``compact_every`` rounds and scanned as-is."""
+        rels = self.manifest["tables"].get(table) or []
+        comp = [r for r in rels
+                if os.path.basename(r).startswith("compact_")]
+        rest = [r for r in rels
+                if not os.path.basename(r).startswith("compact_")]
+
+        def _read(rs):
+            if not rs:
+                return None
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in rs])
+
+        return _read(comp), _read(rest)
+
+    @property
+    def meta(self) -> dict:
+        """Small catalog-level metadata committed atomically with table
+        snapshots (the Iceberg table-properties / puffin-stats analog) —
+        e.g. the compacted frontier's per-(site, depth) histogram."""
+        return self.manifest.setdefault("meta", {})
+
     def table_bytes(self, table: str) -> int:
         """Total on-disk bytes of a table's committed files (manifest
-        dir walk, no Spark job; cached per commit). Drives the engine's
-        adaptive bucket pruning — the Iceberg-manifest file-stats
-        analog."""
-        key = (table, self.manifest["committed_round"],
-               len(self.manifest["tables"].get(table) or ()))
-        cached = self._bytes_cache.get(key)
-        if cached is not None:
-            return cached
+        dir walk, no Spark job; cached per delta-list). Drives the
+        engine's adaptive bucket pruning — the Iceberg-manifest
+        file-stats analog. Keyed on the table's rel list, not the
+        committed round: a table that gained no files between commits
+        reuses its cached size instead of re-walking O(total files)
+        every round."""
+        rels = tuple(self.manifest["tables"].get(table) or ())
+        cached = self._bytes_cache.get(table)
+        if cached is not None and cached[0] == rels:
+            return cached[1]
         total = 0
-        for rel in self.manifest["tables"].get(table) or ():
+        for rel in rels:
             root = os.path.join(self.root, rel)
             for dirpath, _, files in os.walk(root):
                 total += sum(os.path.getsize(os.path.join(dirpath, f))
                              for f in files if f.endswith(".parquet"))
-        self._bytes_cache[key] = total
+        self._bytes_cache[table] = (rels, total)
         return total
 
     @property
@@ -119,10 +148,15 @@ class CheckpointCatalog:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, table: str, df: DataFrame | None = None) -> None:
+    def compact(self, table: str, df: DataFrame | None = None,
+                meta: dict | None = None, state: dict | None = None) -> None:
         """Fold all deltas of ``table`` into one snapshot dir (bounds the
         union fan-in for hot tables like the frontier). If ``df`` is
-        given it becomes the new content (post-anti-join compaction)."""
+        given it becomes the new content (post-anti-join compaction).
+        ``meta`` entries and/or a ``state`` replacement land in the SAME
+        atomic manifest commit, so snapshot-derived statistics (the
+        frontier histogram) can never drift from the snapshot they
+        describe."""
         if df is None:
             df = self.read(table)
         if df is None:
@@ -131,6 +165,10 @@ class CheckpointCatalog:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         old = self.manifest["tables"].get(table, [])
         self.manifest["tables"][table] = [rel]
+        if meta:
+            self.manifest.setdefault("meta", {}).update(meta)
+        if state is not None:
+            self.manifest["state"] = state
         self._commit_manifest()
         for r in old:
             shutil.rmtree(os.path.join(self.root, r), ignore_errors=True)

@@ -180,6 +180,73 @@ def candidate_prefix(frontier: DataFrame, prefix_k: int) -> DataFrame:
             .filter(F.col("_rank") <= prefix_k))
 
 
+def frontier_hist(live: DataFrame) -> dict:
+    """Per-(site, depth) row count + geometric-rank counter quantiles
+    of a frontier snapshot. The pop path turns this into a ``depth > g
+    OR (depth = g AND counter <= c)`` predicate that file-skips the
+    depth/counter-clustered compacted snapshot (see
+    :func:`pop_cutoff`). One corpus window — runs only at compaction,
+    where corpus-sized windows are allowed."""
+    w = Window.partitionBy("site", "depth").orderBy("counter")
+    cw = Window.partitionBy("site", "depth")
+    rows = (live.select("site", "depth", "counter")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(cw))
+            .filter(F.col("_rn").isin(list(_HIST_RANKS))
+                    | (F.col("_rn") == F.col("_n")))
+            .collect())
+    hist: dict = {}
+    for r in rows:
+        d = (hist.setdefault(r["site"], {})
+             .setdefault(str(r["depth"]), {"n": 0, "ranks": []}))
+        d["n"] = max(d["n"], int(r["_n"]))
+        d["ranks"].append([int(r["_rn"]), int(r["counter"])])
+    for site in hist.values():
+        for d in site.values():
+            d["ranks"].sort()
+    return hist
+
+
+def pop_cutoff(hist: dict | None,
+               needs: dict[str, int]) -> tuple[int, int] | None:
+    """Global ``(g, c)`` cutoff such that the compacted-frontier rows
+    matching ``depth > g OR (depth = g AND counter <= c)`` provably
+    contain, for every site, its top-``needs[site]`` rows in heap order
+    (depth desc, counter asc). Returns None when pruning cannot be
+    proven safe (no histogram, or a site's whole compacted frontier is
+    smaller than its need — then all its rows must be kept)."""
+    if not hist:
+        return None
+    g_min: int | None = None
+    c_at: dict[int, int] = {}
+    for site, need in needs.items():
+        h = hist.get(site)
+        if not h:
+            continue  # no compacted rows: all its rows are deltas
+        cum_above = 0
+        g_s = c_s = None
+        for d in sorted((int(x) for x in h), reverse=True):
+            nd = h[str(d)]["n"]
+            if cum_above + nd >= need:
+                need_at = need - cum_above
+                for rn, ctr in h[str(d)]["ranks"]:
+                    if rn >= need_at:
+                        g_s, c_s = d, ctr
+                        break
+                break
+            cum_above += nd
+        if g_s is None:
+            return None  # site needs its entire compacted frontier
+        if g_min is None or g_s < g_min:
+            g_min = g_s
+        c_at[g_s] = max(c_at.get(g_s, c_s), c_s)
+    if g_min is None:
+        return None
+    # the union of per-site needs is covered by (min g, max c at min
+    # g): sites with deeper g_s sit entirely inside depth > g
+    return g_min, c_at[g_min]
+
+
 def _make_fetch_udf(store_path: str, site_cfg_bc):
     """Fetch + parse kernel (crawler.py:971-1077 per-page semantics) as
     an Arrow-batched ``mapInPandas`` body. Per-URL failures become
@@ -264,6 +331,25 @@ class SiteState:
     url_counter: int = 0
     pages_visited: int = 0
     active: bool = True
+    # rows popped from the frontier since the last compaction — the
+    # conservative correction applied to the compacted snapshot's
+    # depth histogram when computing the pop-scan depth/counter cutoff
+    # (pops are the only operation that removes frontier rows)
+    pops_since_compact: int = 0
+
+
+# every metrics action that corresponds to exactly one popped frontier
+# row (fetch outcomes of admitted rows + the inadmissible-pop reasons);
+# 'indexed'/'skipped_cache'/'pushed' are derived counts, not pops
+_POP_ACTIONS = ("fetched", "not_modified", "not_indexed_content_type",
+                "error", "visited_dup", "excluded", "ext_skipped",
+                "robots_denied")
+
+# geometric rank ladder for the per-(site, depth) counter quantiles
+# stored in the frontier histogram: the pop-scan cutoff picks the
+# smallest stored rank covering its need, so the scanned slack is at
+# most one ladder step (8x)
+_HIST_RANKS = tuple(64 * 8 ** i for i in range(10))  # 64 … ~8.6e9
 
 
 class CrawlEngine:
@@ -334,7 +420,9 @@ class CrawlEngine:
             for name, s in self.seeds.items()
         ]
         frontier0 = self.spark.createDataFrame(rows, schema=(
-            "site string, url string, host string, depth int, counter long"))
+            "site string, url string, host string, depth int, counter long")) \
+            .withColumn("bucket", bucket_col(F.col("url"),
+                                             self.cfg.seen_buckets))
         staged = {"frontier_adds": [self.catalog.stage("frontier_adds", frontier0, 0)]}
         if self._initial_url_seen:
             seen0 = self.spark.createDataFrame(
@@ -382,7 +470,9 @@ class CrawlEngine:
             "round": self.round_no,
             "sites": {k: {"url_counter": v.url_counter,
                           "pages_visited": v.pages_visited,
-                          "active": v.active} for k, v in self.sites.items()},
+                          "active": v.active,
+                          "pops_since_compact": v.pops_since_compact}
+                      for k, v in self.sites.items()},
         }
 
     # ------------------------------------------------------------------ views
@@ -395,6 +485,41 @@ class CrawlEngine:
         if pops is not None:
             adds = adds.join(pops, ["site", "counter"], "left_anti")
         return adds
+
+    def _pop_frontier(self, budgets: dict[str, int],
+                      prefix_k: int) -> DataFrame | None:
+        """Live-frontier view for pop selection, with the compacted
+        snapshot pruned by the histogram cutoff — the predicate pushes
+        to the parquet scan and the depth/counter-clustered layout
+        skips every file outside the deepest band, so the per-round
+        candidate scan tracks sites × prefix_k, not the frontier size
+        (the round-3 verdict's last unbounded-growth term). Deltas
+        since compaction are bounded by ``compact_every`` rounds and
+        read whole."""
+        comp, deltas = self.catalog.read_split("frontier_adds")
+        parts = []
+        if comp is not None:
+            cut = pop_cutoff(
+                self.catalog.meta.get("frontier_hist"),
+                {s: prefix_k + self.sites[s].pops_since_compact
+                 for s in budgets})
+            if cut is not None:
+                g, c = cut
+                comp = comp.filter(
+                    (F.col("depth") > g)
+                    | ((F.col("depth") == g) & (F.col("counter") <= c)))
+            parts.append(comp)
+        if deltas is not None:
+            parts.append(deltas)
+        if not parts:
+            return None
+        adds = parts[0]
+        for p in parts[1:]:
+            adds = adds.unionByName(p)
+        pops = self.catalog.read("frontier_pops")
+        if pops is not None:
+            adds = adds.join(pops, ["site", "counter"], "left_anti")
+        return adds.filter(F.col("site").isin(list(budgets)))
 
     def _url_seen_latest(self) -> DataFrame | None:
         """Latest-wins view of the FULL url_seen log — a corpus-sized
@@ -444,21 +569,26 @@ class CrawlEngine:
         if log is None:
             return None
         pruned = (self._pruned("url_seen_log", log, keys, key_col)
-                  .join(F.broadcast(keys.select(F.col(key_col).alias("url"))
-                                    .distinct()),
+                  .join(self._bc(keys.select(F.col(key_col).alias("url"))
+                                 .distinct(),
+                                 getattr(self, "_pop_bound", None)),
                         "url", "left_semi"))
         w = Window.partitionBy("url").orderBy(F.desc("round"))
         return (pruned.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn", "bucket"))
 
     def _present_keys(self, big: DataFrame, keys: DataFrame,
-                      cols: list[str]) -> DataFrame:
+                      cols: list[str],
+                      est_rows: int | None = None) -> DataFrame:
         """Distinct ``keys[cols]`` rows present in ``big``, computed by
         scanning ``big`` with a broadcast-build semi-join (build side =
         the round's keys) — the corpus-sized table is never shuffled
         and never globally distinct'd; the result is bounded by the
-        key count. Callers anti/semi-join the (small) result back."""
-        return (big.join(F.broadcast(keys.select(*cols).distinct()),
+        key count. Callers anti/semi-join the (small) result back.
+        ``est_rows`` is the caller's bound on the key-set size; above
+        ``broadcast_key_rows`` the forced hint is dropped (see
+        :meth:`_bc`)."""
+        return (big.join(self._bc(keys.select(*cols).distinct(), est_rows),
                          cols, "left_semi")
                 .select(*cols).distinct())
 
@@ -530,7 +660,11 @@ class CrawlEngine:
                 st.active = False
         if not active_sites:
             return False
-        frontier = frontier.filter(F.col("site").isin(active_sites))
+        budgets = {s: budgets[s] for s in active_sites}
+        # row-count bound for this round's popped set, used to gate the
+        # forced-broadcast hints: the cutoff admits ≤ budget admissible
+        # rows and < budget inadmissible rows per site
+        self._pop_bound = 2 * sum(budgets.values())
 
         # broadcast mode: one Bloom broadcast per round, shared by
         # admission and link dedup, released at the round barrier
@@ -546,7 +680,7 @@ class CrawlEngine:
             self._bloom_table = self._bloom_latest()
         self._round_tmp: list[DataFrame] = []
         try:
-            popped = self._select_pops(frontier, budgets)
+            popped = self._select_pops(budgets)
             if popped is None:
                 for name in active_sites:
                     self.sites[name].active = False
@@ -560,6 +694,18 @@ class CrawlEngine:
                 self._bloom_bc.destroy()
             self._bloom_bc = None
             self._bloom_table = None
+
+    def _bc(self, df: DataFrame, est_rows: int | None) -> DataFrame:
+        """Broadcast hint with a size guard (round-4 advisor item): the
+        hint overrides Spark's size threshold, so it is only forced when
+        the caller's ROW-COUNT BOUND for the frame stays under
+        ``broadcast_key_rows``. Above the bound the join falls back to
+        Spark's own strategy — AQE still converts it to a broadcast at
+        runtime when the actual payload is small, and the shuffle-join
+        fallback is the memory-safe shape for genuinely huge rounds."""
+        if est_rows is not None and est_rows > self.cfg.broadcast_key_rows:
+            return df
+        return F.broadcast(df)
 
     def _persist_tmp(self, df: DataFrame) -> DataFrame:
         """Persist a round-scoped frame (bucket-prune collects and the
@@ -625,10 +771,12 @@ class CrawlEngine:
             probed = self._persist_tmp(self._bloom_split(
                 cand.select("site", "counter", "url", "url_hash")))
             maybe = probed.filter(F.col("_maybe"))
+            bound = getattr(self, "_prefix_bound", None)
             present = self._present_keys(
                 self._pruned("visited", visited, maybe, "url"),
-                maybe, ["site", "url"])
-            hit = (maybe.join(F.broadcast(present), ["site", "url"], "left_semi")
+                maybe, ["site", "url"], est_rows=bound)
+            hit = (maybe.join(self._bc(present, bound),
+                              ["site", "url"], "left_semi")
                    .select("site", "counter").withColumn("f_visited", F.lit(True)))
             cand = cand.join(hit, ["site", "counter"], "left") \
                        .withColumn("f_visited", F.coalesce("f_visited", F.lit(False)))
@@ -689,15 +837,18 @@ class CrawlEngine:
                 .cogroup(self._bloom_table.select("pid", "bits").groupBy("pid"))
                 .applyInPandas(check_fn, schema=out_schema))
 
-    def _select_pops(self, frontier: DataFrame,
-                     budgets: dict[str, int]) -> DataFrame | None:
+    def _select_pops(self, budgets: dict[str, int]) -> DataFrame | None:
         """Pop cutoff with candidate-prefix escalation. Returns the
         popped rows with admission flags + pos_in_round, or None when
         the frontier is empty for every active site.
 
         The candidate prefix is computed as a two-phase top-K (local
-        per-partition prefixes → global window on their union), so the
-        per-site sort never sees the whole frontier."""
+        per-partition prefixes → global window on their union) over the
+        histogram-pruned pop view (:meth:`_pop_frontier`), so the
+        per-site sort never sees the whole frontier — and after a
+        compaction the scan itself file-skips everything outside the
+        deepest band. The view is rebuilt per escalation iteration
+        because the safe cutoff depends on ``prefix_k``."""
         order = [F.desc("depth"), F.asc("counter")]
         prefix_k = max(budgets.values()) * 8 + 64
         # per-round per-site budgets as a broadcast dimension (plan size
@@ -706,6 +857,15 @@ class CrawlEngine:
         budget_df = self.spark.createDataFrame(
             list(budgets.items()), schema="site string, _budget int")
         while True:
+            # every frame this iteration persists lands in _round_tmp at
+            # or after this index; an escalation retry releases them
+            # immediately instead of holding superseded prefix/probe/
+            # admission copies in executor storage until the barrier
+            it_tmp = len(self._round_tmp)
+            self._prefix_bound = len(budgets) * prefix_k
+            frontier = self._pop_frontier(budgets, prefix_k)
+            if frontier is None:
+                return None
             # persisted: the admission bucket-prune collect materializes
             # the prefix once; the popped/stats plans then read cache
             # instead of re-scanning the frontier
@@ -725,32 +885,37 @@ class CrawlEngine:
                 "_adm_run", F.sum(F.col("admissible").cast("int")).over(wsum))
             # admission flags (Bloom probe + windows) feed the cutoff,
             # the stats collect, and every downstream consumer — persist
-            # the popped frame and materialize it via the stats collect
-            cand = cand.persist()
-            popped = cand.filter(
-                F.when(F.col("admissible"), F.col("_adm_run") <= budget)
-                .otherwise(F.col("_adm_run") < budget)).drop("_budget") \
-                .withColumn(
-                "pos_in_round",
-                F.when(F.col("admissible"),
-                       F.row_number().over(
-                           Window.partitionBy("site", "admissible")
-                           .orderBy(*order)) - 1).otherwise(F.lit(-1)))
-            # lineage cut: popped is the round's root frame — every
-            # downstream plan re-embeds it several times (see _cut)
-            popped = self._cut(popped)
+            # once; the stats collect materializes it
+            cand = self._persist_tmp(cand)
+            pop_cond = (F.when(F.col("admissible"), F.col("_adm_run") <= budget)
+                        .otherwise(F.col("_adm_run") < budget))
+            # n_rank comes from the UNFILTERED prefix (the host-budget
+            # filter may drop the last-ranked row from cand, which must
+            # not mask a full prefix); n_adm from the admission frame
             stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
                      prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
-                     .join(popped.groupBy("site")
-                           .agg(F.sum(F.col("admissible").cast("int")).alias("n_adm")),
-                           "site", "left").collect()}
-            cand.unpersist()
+                     .join(cand.groupBy("site").agg(
+                         F.sum((F.col("admissible") & pop_cond).cast("int"))
+                         .alias("n_adm")), "site", "left").collect()}
             under = [s for s, (n_adm, n_rank) in stats.items()
                      if (n_adm or 0) < budgets[s] and n_rank == prefix_k]
             if not under:
                 if not stats:
                     return None
-                return popped
+                popped = cand.filter(pop_cond).drop("_budget").withColumn(
+                    "pos_in_round",
+                    F.when(F.col("admissible"),
+                           F.row_number().over(
+                               Window.partitionBy("site", "admissible")
+                               .orderBy(*order)) - 1).otherwise(F.lit(-1)))
+                # lineage cut: popped is the round's root frame — every
+                # downstream plan re-embeds it several times (see _cut).
+                # Cut only on the accepted iteration, so escalation
+                # never abandons a materialized checkpoint.
+                return self._cut(popped)
+            for df in self._round_tmp[it_tmp:]:
+                df.unpersist()
+            del self._round_tmp[it_tmp:]
             prefix_k *= 8
 
     # ---------------------------------------------------------- execution
@@ -909,8 +1074,9 @@ class CrawlEngine:
                     F.md5(F.col("url")).alias("refresh_id")))
         intra304.persist()
         intra_skip = (
-            ok.join(F.broadcast(intra304.select(
-                "site", "pos_in_round").withColumn("_is304", F.lit(True))),
+            ok.join(self._bc(intra304.select(
+                "site", "pos_in_round").withColumn("_is304", F.lit(True)),
+                self._pop_bound),
                 ["site", "pos_in_round"], "left")
             .join(first_indexed, ["site", "final_url"], "left")
             .withColumn("f_cache_skip_final",
@@ -987,7 +1153,8 @@ class CrawlEngine:
                 .select("site", F.col("link_url").alias("url"),
                         F.col("host"), F.col("link_depth").alias("depth"),
                         (F.coalesce(F.col("_base"), F.lit(0))
-                         + F.col("_idx")).cast("long").alias("counter")))
+                         + F.col("_idx")).cast("long").alias("counter"))
+                .withColumn("bucket", bucket_col(F.col("url"), nb)))
         if cfg.max_queue_size is not None:
             adds = self._apply_queue_cap(adds, new_links, popped)
         adds = adds.persist()
@@ -1003,8 +1170,9 @@ class CrawlEngine:
             .when(F.col("fetch_status") == 0, "not_indexed_content_type")
             .otherwise("fetched"))
         fetch_counts = (
-            fetched.join(F.broadcast(intra304.select(
-                "site", "pos_in_round").withColumn("_is304", F.lit(True))),
+            fetched.join(self._bc(intra304.select(
+                "site", "pos_in_round").withColumn("_is304", F.lit(True)),
+                self._pop_bound),
                 ["site", "pos_in_round"], "left")
             .groupBy("site", action.alias("action")).count())
         skip_counts = popped.filter(~F.col("admissible")).groupBy(
@@ -1116,6 +1284,8 @@ class CrawlEngine:
                             ("fetched", "not_modified", "not_indexed_content_type"))
             st.pages_visited += fetched_n
             st.url_counter += new_link_counts.get(name, 0)
+            st.pops_since_compact += sum(counts.get(a, 0)
+                                         for a in _POP_ACTIONS)
             if counts or new_link_counts.get(name):
                 any_pop = True
 
@@ -1153,10 +1323,35 @@ class CrawlEngine:
         rewrite_data_files maintenance job."""
         live = self._live_frontier()
         if live is not None:
-            self.catalog.compact("frontier_adds", live)
+            live = live.persist()
+            n = min(self.cfg.seen_buckets, max(self.cfg.shuffle_partitions, 1))
+            # 1) bucket-clustered (site, url, counter) projection for the
+            #    link-dedup membership scan (Iceberg secondary-index
+            #    analog). Written BEFORE the main snapshot: a crash
+            #    between the two leaves the index a SUPERSET of the
+            #    frontier (safe for semi-join membership — extra rows
+            #    are removed by the pops anti-join), never a subset.
+            self.catalog.compact(
+                "frontier_index",
+                self._bucket_layout(
+                    live.select("site", "url", "counter", "bucket"), "url"))
+            # 2) pop-layout snapshot: depth/counter-clustered so the
+            #    histogram cutoff predicate skips files, with the
+            #    histogram + pops_since_compact reset committed in the
+            #    SAME atomic manifest write as the snapshot.
+            hist = frontier_hist(live)
+            for st in self.sites.values():
+                st.pops_since_compact = 0
+            self.catalog.compact(
+                "frontier_adds",
+                live.repartitionByRange(n, "depth", "counter")
+                    .sortWithinPartitions("depth", "counter"),
+                meta={"frontier_hist": hist},
+                state=self._state_dict())
             pops = self.catalog.read("frontier_pops")
             if pops is not None:
                 self.catalog.compact("frontier_pops", pops.limit(0))
+            live.unpersist()
         seen = self._url_seen_latest()
         if seen is not None:
             self.catalog.compact("url_seen_log",
@@ -1204,35 +1399,64 @@ class CrawlEngine:
         # as the broadcast build side — the corpus-sized table is never
         # shuffled or distinct'd (F2 scale fix, round-2 verdict #2)
         visited = self.catalog.read("visited")
+        n_links: int | None = None
         if visited is not None:
             links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
             probed = self._persist_tmp(self._bloom_split(links))
+            # the actual round link count gates every forced-broadcast
+            # hint below (advisor item: an unguarded hint on a 10^7-link
+            # round would OOM); probed is persisted, so this count also
+            # materializes the frame its consumers read from cache
+            n_links = probed.count()
             clean = probed.filter(~F.col("_maybe")).drop("_maybe", "url_hash")
             maybe = probed.filter(F.col("_maybe")).drop("_maybe", "url_hash")
             present = self._present_keys(
                 self._pruned("visited", visited, maybe, "link_url")
                 .select("site", F.col("url").alias("link_url")),
-                maybe, ["site", "link_url"])
-            maybe = maybe.join(F.broadcast(present),
+                maybe, ["site", "link_url"], est_rows=n_links)
+            maybe = maybe.join(self._bc(present, n_links),
                                ["site", "link_url"], "left_anti")
             links = clean.unionByName(maybe)
         # vs live frontier *minus this round's pops* — a popped entry is
         # discarded from to_visit at pop time (crawler.py:1162), so a
         # link rediscovering an excluded/denied URL is pushed again.
-        # Inverted the same way: one broadcast-filtered frontier scan
-        # (pops anti, link-keys semi — both broadcast builds), never a
-        # shuffle of the 10^10-row frontier.
-        live = self._live_frontier()
-        if live is not None:
+        # Inverted the same way: one bounded-build-side membership scan
+        # (link-keys semi, then pops anti), never a shuffle of the
+        # 10^10-row frontier. The compacted tier is read through the
+        # bucket-clustered ``frontier_index`` projection, so the scan
+        # file-skips like the seen tables; post-compaction
+        # frontier_adds deltas (bounded by compact_every rounds) ride
+        # along unpruned.
+        idx, _ = self.catalog.read_split("frontier_index")
+        idx_name = "frontier_index"
+        adds_comp, adds_deltas = self.catalog.read_split("frontier_adds")
+        if idx is None:
+            idx, idx_name = adds_comp, "frontier_adds"
+        parts = [p for p in (idx, adds_deltas) if p is not None]
+        if parts:
             links = self._persist_tmp(links)
+            if n_links is None:
+                n_links = links.count()
             link_keys = links.select(
                 "site", F.col("link_url").alias("url")).distinct()
+            if idx is not None:
+                parts[0] = self._pruned(idx_name, idx, link_keys, "url")
+            cand = parts[0].select("site", "url", "counter")
+            for p in parts[1:]:
+                cand = cand.unionByName(p.select("site", "url", "counter"))
+            still_queued = cand.join(self._bc(link_keys, n_links),
+                                     ["site", "url"], "left_semi")
+            pops = self.catalog.read("frontier_pops")
+            if pops is not None:
+                still_queued = still_queued.join(
+                    pops, ["site", "counter"], "left_anti")
             still_queued = (
-                live.join(F.broadcast(popped.select("site", "counter")),
-                          ["site", "counter"], "left_anti")
-                .join(F.broadcast(link_keys), ["site", "url"], "left_semi")
+                still_queued
+                .join(self._bc(popped.select("site", "counter"),
+                               getattr(self, "_pop_bound", None)),
+                      ["site", "counter"], "left_anti")
                 .select("site", F.col("url").alias("link_url")).distinct())
-            links = links.join(F.broadcast(still_queued),
+            links = links.join(self._bc(still_queued, n_links),
                                ["site", "link_url"], "left_anti")
         return links
 
@@ -1281,7 +1505,9 @@ class CrawlEngine:
                 .select("site", F.col("link_url").alias("url"), "host",
                         F.col("link_depth").alias("depth"),
                         (F.coalesce(F.col("_base"), F.lit(0))
-                         + F.col("_idx")).cast("long").alias("counter")))
+                         + F.col("_idx")).cast("long").alias("counter"))
+                .withColumn("bucket", bucket_col(F.col("url"),
+                                                 self.cfg.seen_buckets)))
 
 
 def _host_of(url: str) -> str:

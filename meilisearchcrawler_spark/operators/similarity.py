@@ -41,11 +41,16 @@ def cosine_scores(df: DataFrame, query_vec: list[float],
     0.0. (The reference's ×0.1 missing-vector *penalty on the original
     keyword score*, reranker.py:70-76, needs that score column — it
     lives in :func:`meilisearchcrawler_spark.search.rerank.rerank`.)"""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    v = F.col(vec_col).cast("array<double>")
-    cos = _dot(v, q) / (F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v)) * F.lit(qn))
-    score = F.when(F.col(vec_col).isNull(), F.lit(0.0)).otherwise(cos)
+    # one server-side-parsed SQL expression (see hyperplane_buckets:
+    # per-element literal Columns cost driver time linear in dim)
+    v = f"cast({vec_col} as array<double>)"
+    dot = (f"aggregate(zip_with({v}, {_arr_sql(query_vec)}, "
+           f"(x, y) -> x * y), 0.0D, (acc, val) -> acc + val)")
+    norm = f"sqrt(aggregate({v}, 0.0D, (acc, val) -> acc + val * val))"
+    cos = (f"({dot}) / ((case when {norm} = 0.0D then 1.0D "
+           f"else {norm} end) * {qn!r}D)")
+    score = F.when(F.col(vec_col).isNull(), F.lit(0.0)).otherwise(F.expr(cos))
     return df.withColumn("score", F.round(score, 6))
 
 
@@ -67,15 +72,27 @@ def make_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((nbits, dim)).round(6).tolist()
 
 
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
 def hyperplane_buckets(df: DataFrame, planes: list[list[float]],
                        vec_col: str = "embedding") -> DataFrame:
-    """Sign-bit LSH bucket id per row: bit i = (v · plane_i) >= 0."""
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
+    """Sign-bit LSH bucket id per row: bit i = (v · plane_i) >= 0.
+
+    The expression is assembled as ONE SQL string (``F.expr``) instead
+    of nested Column operations: nbits × dim literal plane arrays built
+    per-element through py4j cost ~2 s of DRIVER time per query (the
+    round-3 q22 bench regression — plan construction, not execution),
+    while a single server-side parse is ~50 ms. Same analyzed plan,
+    JVM-side whole-stage codegen either way."""
+    v = f"cast({vec_col} as array<double>)"
+    terms = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(_dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+        dot = (f"aggregate(zip_with({v}, {_arr_sql(plane)}, "
+               f"(x, y) -> x * y), 0.0D, (acc, val) -> acc + val)")
+        terms.append(f"(case when {dot} >= 0 then {1 << i}L else 0L end)")
+    return df.withColumn("bucket", F.expr(" + ".join(terms)))
 
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,

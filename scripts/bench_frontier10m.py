@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from meilisearchcrawler_spark.config import CrawlConfig
 from meilisearchcrawler_spark.engine.bench_crawl import bench_fixture
-from meilisearchcrawler_spark.engine.crawler import CrawlEngine
+from meilisearchcrawler_spark.engine.crawler import CrawlEngine, bucket_col
 from meilisearchcrawler_spark.session import get_spark
 
 N_FILLER = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
@@ -74,7 +74,9 @@ def main() -> None:
                       .alias("url"),
                       F.lit("filler.invalid").alias("host"),
                       F.lit(0).cast("int").alias("depth"),
-                      (F.col("id") + 1_000_000_000).alias("counter")))
+                      (F.col("id") + 1_000_000_000).alias("counter"))
+              .withColumn("bucket", bucket_col(F.col("url"),
+                                               cfg.seen_buckets)))
     rel = eng.catalog.stage("frontier_adds", filler, 0, max_files=0)
     eng.catalog.commit_round(eng.catalog.committed_round,
                              {"frontier_adds": [rel]}, eng.catalog.state)
