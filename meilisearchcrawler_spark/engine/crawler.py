@@ -32,9 +32,16 @@ Scale notes (10^10 frontier, 1000 executors):
 
 * the admission windows run on a bounded per-site candidate *prefix*
   (top-K), not the whole frontier; K escalates in the rare case the
-  prefix is exhausted by inadmissible rows. The full frontier is only
-  touched by the adds⟂pops anti-join (hash-partitioned on counter) and
-  periodic compaction.
+  prefix is exhausted by inadmissible rows. After a compaction the
+  prefix scan doesn't even read the frontier: the snapshot is
+  depth/counter-clustered and a per-(site, depth) histogram in the
+  manifest turns the per-site need into a pushed
+  ``depth > g OR (depth = g AND counter <= c)`` predicate, so the scan
+  file-skips to ~sites × prefix_k rows regardless of frontier size
+  (:func:`pop_cutoff`). The full frontier is only touched by the
+  adds⟂pops anti-join (hash-partitioned on counter) and periodic
+  compaction; the link-dedup membership scan reads the bucket-clustered
+  ``frontier_index`` projection instead (bucket-pruned like url_seen).
 * NO per-round operation touches a corpus-sized table with a shuffle,
   window, or distinct. url_seen conditional-header/cache lookups are
   key-pruned (``_seen_for``): bucket-filtered file-skipping scan →
@@ -99,6 +106,7 @@ FETCH_SCHEMA = StructType([
     StructField("last_modified", StringType()),
     StructField("title", StringType()),
     StructField("content", StringType()),
+    StructField("content_source", StringType()),
     StructField("excerpt", StringType()),
     StructField("images_json", StringType()),
     StructField("lang", StringType()),
@@ -266,7 +274,8 @@ def _make_fetch_udf(store_path: str, site_cfg_bc):
                     "pos_in_round": int(row.pos_in_round),
                     "final_url": row.url, "fetch_status": -1,
                     "etag": None, "last_modified": None, "title": None,
-                    "content": None, "excerpt": None, "images_json": None,
+                    "content": None, "content_source": None,
+                    "excerpt": None, "images_json": None,
                     "lang": None, "content_hash": None, "doc_id": None,
                     "no_index": 0, "links": None,
                 }
@@ -310,7 +319,8 @@ def _make_fetch_udf(store_path: str, site_cfg_bc):
                 rec.update(
                     final_url=final_url, fetch_status=200,
                     etag=page.get("etag"), last_modified=page.get("last_modified"),
-                    title=parsed.title, content=content, excerpt=excerpt,
+                    title=parsed.title, content=content,
+                    content_source=parsed.content_source, excerpt=excerpt,
                     images_json=json.dumps(parsed.images, sort_keys=True),
                     # the reference HTML path hardcodes the 'fr' default
                     # regardless of site config (crawler.py:1040-1043)
@@ -1088,6 +1098,7 @@ class CrawlEngine:
         docs = indexed.select(
             F.col("doc_id").alias("id"), "site",
             F.col("final_url").alias("url"), "title", "excerpt", "content",
+            "content_source",
             F.from_json("images_json", IMAGES_SCHEMA).alias("images"),
             "lang", F.lit(int(now)).alias("timestamp"),
             F.lit(now).alias("indexed_at"), F.lit(now).alias("last_crawled_at"),

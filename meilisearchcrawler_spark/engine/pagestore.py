@@ -20,15 +20,44 @@ from __future__ import annotations
 
 
 class LazyPageStore:
-    def __init__(self, path: str):
-        import pyarrow.parquet as pq
+    """Prefers an mmap-ed uncompressed Arrow IPC twin
+    (``pages.feather``, written by ``fixtures.webgen.write_parquet``)
+    over the parquet file: IPC is the Arrow memory layout, so the
+    mmap-ed buffers ARE the arrays — zero per-worker materialization,
+    and every worker process shares one OS-page-cache copy. Parquet, by
+    contrast, always decodes into private worker memory; at 32 workers
+    x a 100MB+ store those private copies saturate memory bandwidth and
+    dominate the fetch stage. Parquet remains the fallback for stores
+    written before the twin existed."""
 
-        self._table = pq.read_table(path).combine_chunks()
-        self._cols = {name: self._table.column(name).chunk(0)
+    def __init__(self, path: str):
+        import os
+
+        import pyarrow as pa
+
+        feather = self._feather_twin(path)
+        if feather is not None and os.path.exists(feather):
+            source = pa.memory_map(feather, "r")
+            self._table = pa.ipc.open_file(source).read_all()
+        else:
+            import pyarrow.parquet as pq
+
+            self._table = pq.read_table(path)
+        self._cols = {name: self._table.column(name)
                       for name in self._table.column_names}
-        self._idx = {u: i for i, u in
-                     enumerate(self._cols["url"].to_pylist())}
+        self._idx = {}
+        pos = 0
+        for chunk in self._cols["url"].chunks:
+            for u in chunk.to_pylist():
+                self._idx[u] = pos
+                pos += 1
         self._rows: dict[int, dict] = {}
+
+    @staticmethod
+    def _feather_twin(path: str) -> str | None:
+        if path.endswith(".parquet"):
+            return path[: -len(".parquet")] + ".feather"
+        return None
 
     def get(self, url: str) -> dict | None:
         i = self._idx.get(url)

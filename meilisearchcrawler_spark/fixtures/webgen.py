@@ -141,13 +141,19 @@ def _messify(html: str, rng: random.Random) -> str:
         return m.group(0)
 
     def recase(m: re.Match) -> str:
-        name = m.group(2)
+        closing, name = m.group(1), m.group(2)
         r = rng.random()
         if r < 0.2:
             name = name.upper()
         elif r < 0.3:
             name = name.capitalize()
-        return f"<{m.group(1)}{name}"
+        out = f"<{closing}{name}"
+        # inert data-* attribute with a literal '>' in its quoted value:
+        # exercises the quote-aware tag scanner (a naive scanner ends
+        # the token early) without changing any extracted value
+        if not closing and rng.random() < 0.12:
+            out += ' data-m="g>t"'
+        return out
 
     return _TAG_NAME.sub(recase, _DQ_ATTR.sub(requote, html))
 
@@ -423,6 +429,17 @@ def write_parquet(fixture: WebFixture, out_dir: str) -> dict[str, str]:
         paths[name] = path
 
     _write("pages", fixture.pages)
+    # mmap-able twin of the page store (uncompressed Arrow IPC): every
+    # executor Python worker shares ONE OS-page-cache copy of the
+    # "network" instead of a private decompressed parquet copy — at 32
+    # workers x a 100MB+ store, the private copies saturate memory
+    # bandwidth and corrupt every scaling measurement (harness
+    # infrastructure, not engine work)
+    import pyarrow.feather as _feather
+
+    _feather.write_feather(
+        pa.Table.from_pylist(fixture.pages),
+        os.path.join(out_dir, "pages.feather"), compression="uncompressed")
     _write("seeds", [
         {**s, "exclude": list(s["exclude"]), "no_index": list(s["no_index"])}
         for s in fixture.seeds

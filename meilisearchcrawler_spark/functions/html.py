@@ -15,9 +15,10 @@ so arbitrarily nested same-tag elements (``<div>`` in ``<div>``,
 a real tokenizer (:func:`parse_attrs`) accepting the quoting dialects
 browsers and BeautifulSoup accept: double-quoted, single-quoted,
 unquoted, and bare boolean attributes, with case-insensitive attribute
-and tag names and ``class`` matched by token membership. Remaining
-documented gap vs a full HTML5 tree builder: a literal ``>`` inside a
-quoted attribute value ends the tag token early. The oracle
+and tag names and ``class`` matched by token membership. The tag
+scanner is quote-aware: a literal ``>`` inside a quoted attribute
+value does NOT end the tag token (round-4; previously the last
+documented tokenizer gap vs a full HTML5 tree builder). The oracle
 (``oracle/refcrawler.py``) calls these same kernels, so engine↔oracle
 extraction equality is by construction; extraction *truth* is pinned
 by direct unit tests over handcrafted nested/messy documents, and the
@@ -34,14 +35,20 @@ from .text import sniff_lang
 from .urls import is_valid_url, normalize_url
 from urllib.parse import urljoin
 
-_TAG = re.compile(r"<[^>]+>")
-_TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
-_H1 = re.compile(r"<h1[^>]*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
-_META = re.compile(r"<meta\b([^>]*)>", re.IGNORECASE)
-_HTML_OPEN = re.compile(r"<html\b([^>]*)>", re.IGNORECASE)
-_A_TAG = re.compile(r"<a\b([^>]*)>", re.IGNORECASE)
-_IMG = re.compile(r"<img\b([^>]*)>", re.IGNORECASE)
-_ANY_OPEN = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\b([^>]*)>")
+# Quote-aware tag inside: a literal `>` within a quoted attribute value
+# no longer ends the tag token (the last round-3 tokenizer gap vs a
+# real HTML5 tree builder). Linear-time: the three alternatives are
+# mutually exclusive on their first character.
+_IN = r"""(?:[^>"']|"[^"]*"|'[^']*')"""
+_TAG = re.compile(rf"</?[a-zA-Z!?]{_IN}*>")
+_TITLE = re.compile(rf"<title{_IN}*>(.*?)</title>",
+                    re.IGNORECASE | re.DOTALL)
+_H1 = re.compile(rf"<h1{_IN}*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
+_META = re.compile(rf"<meta\b({_IN}*)>", re.IGNORECASE)
+_HTML_OPEN = re.compile(rf"<html\b({_IN}*)>", re.IGNORECASE)
+_A_TAG = re.compile(rf"<a\b({_IN}*)>", re.IGNORECASE)
+_IMG = re.compile(rf"<img\b({_IN}*)>", re.IGNORECASE)
+_ANY_OPEN = re.compile(rf"<([a-zA-Z][a-zA-Z0-9]*)\b({_IN}*)>")
 # One attribute token: name, then optionally = double-quoted /
 # single-quoted / unquoted value (the three quoting forms browsers and
 # BeautifulSoup accept; a bare name is a boolean attribute → "").
@@ -112,6 +119,18 @@ def get_text(fragment: str) -> str:
     return " ".join(text.split())
 
 
+def text_len_strict(fragment: str) -> int:
+    """``len(get_text(strip=True))`` analog — the metric the reference
+    feeds its 250-char accept gate and densest-element comparison
+    (crawler.py:536-553): tags split the fragment into text nodes, each
+    node is stripped of leading/trailing whitespace, and the stripped
+    nodes concatenate with no separator — so INTERIOR spaces within a
+    text node count (the round-4 advisor item: the old whitespace-free
+    count undercounted prose by ~15-20%, rejecting near-threshold
+    candidates the reference would accept)."""
+    return sum(len(node.strip()) for node in _TAG.split(fragment))
+
+
 def _element_span(html: str, tag: str, open_end: int) -> tuple[int, int] | None:
     """``(inner_end, element_end)`` for the element whose open tag ends
     at ``open_end``: a depth counter over subsequent same-tag tokens
@@ -120,7 +139,7 @@ def _element_span(html: str, tag: str, open_end: int) -> tuple[int, int] | None:
     BeautifulSoup). Returns None for an unclosed element."""
     if tag.lower() in _VOID_TAGS:
         return open_end, open_end
-    tok = re.compile(rf"<(/?){tag}\b[^>]*>", re.IGNORECASE)
+    tok = re.compile(rf"<(/?){tag}\b{_IN}*>", re.IGNORECASE)
     depth = 1
     for m in tok.finditer(html, open_end):
         if m.group(1):
@@ -138,7 +157,7 @@ def _extract_element(html: str, kind: str, name: str) -> str | None:
     BeautifulSoup ``find(id=...)`` / ``find(class_=...)`` semantics the
     reference relies on (crawler.py:538-546)."""
     if kind == "tag":
-        m = re.search(rf"<{name}\b[^>]*>", html, re.IGNORECASE)
+        m = re.search(rf"<{name}\b{_IN}*>", html, re.IGNORECASE)
         if not m:
             return None
         span = _element_span(html, name, m.end())
@@ -195,8 +214,8 @@ def _densest_element(body: str) -> str:
     body — the reference's last-resort fallback (crawler.py:543-553:
     ``soup.body.find_all(True)`` minus nav/header/footer/aside/script/
     style/a/form, strictly-greater text length wins, default the body
-    itself). Text length approximates ``get_text(strip=True)`` via
-    whitespace-free character count; elements whose raw inner span
+    itself). Text length is :func:`text_len_strict` (the
+    ``get_text(strip=True)`` metric); elements whose raw inner span
     cannot beat the current best are skipped without a text pass."""
     best, best_len = body, 0
     for m in _ANY_OPEN.finditer(body):
@@ -209,7 +228,7 @@ def _densest_element(body: str) -> str:
         if span[0] - m.end() <= best_len:
             continue
         inner = body[m.end():span[0]]
-        tlen = len(get_text(inner).replace(" ", ""))
+        tlen = text_len_strict(inner)
         if tlen > best_len:
             best, best_len = inner, tlen
     return best
@@ -259,26 +278,38 @@ def extract_main_content(html: str, selector: str | None = None) -> str:
     4. boilerplate subtrees (tags + sidebar/widget/share/... classes +
        aria-hidden, ref :558-561) are decomposed from the chosen
        target before text extraction."""
+    return extract_main_content_tagged(html, selector)[0]
+
+
+def extract_main_content_tagged(html: str,
+                                selector: str | None = None) -> tuple[str, str]:
+    """(content, content_source) — ``content_source`` labels which
+    branch of the reference's decision order produced the text:
+    ``selector`` (site CSS selector, ref :523-526), ``candidate``
+    (the ≥250-char best-candidate heuristic, ref :532-540) or
+    ``fallback`` (densest-in-body, ref :543-553). Every non-``selector``
+    row is a page where the reference would consult trafilatura FIRST —
+    the column a trafilatura-equipped deployment uses to backfill."""
     if selector:
         kind = "id" if selector.startswith("#") else "class" if selector.startswith(".") else "tag"
         inner = _extract_element(html, kind, selector.lstrip("#."))
         if inner is not None:
-            return get_text(inner)
+            return get_text(inner), "selector"
     best, best_len = None, 0
     for kind, name in _CANDIDATES:
         inner = _extract_element(html, kind, name)
         if inner is not None:
-            text_len = len(get_text(inner).replace(" ", ""))
+            text_len = text_len_strict(inner)
             if text_len > best_len:
                 best, best_len = inner, text_len
     if best is not None and best_len >= 250:
-        target = best
+        target, source = best, "candidate"
     else:
         body = _extract_element(html, "tag", "body")
         if body is None:
-            return ""
-        target = _densest_element(body)
-    return get_text(_strip_blocks(target))
+            return "", "fallback"
+        target, source = _densest_element(body), "fallback"
+    return get_text(_strip_blocks(target)), source
 
 
 def get_lang_attr(html: str) -> str | None:
@@ -348,6 +379,7 @@ class ParsedPage(NamedTuple):
     lang_attr: str | None
     images: list[dict]
     links: list[str]
+    content_source: str = "fallback"
 
 
 def parse_page(html: str, final_url: str, seed_url: str,
@@ -355,12 +387,14 @@ def parse_page(html: str, final_url: str, seed_url: str,
                extract_link_targets: bool = True) -> ParsedPage:
     """One-pass page parse used by both the fetch-round UDF and the
     oracle."""
+    content_raw, content_source = extract_main_content_tagged(html, selector)
     return ParsedPage(
         title=get_title(html),
-        content_raw=extract_main_content(html, selector),
+        content_raw=content_raw,
         lang_attr=get_lang_attr(html),
         images=extract_images(html, final_url),
         links=extract_links(html, final_url, seed_url) if extract_link_targets else [],
+        content_source=content_source,
     )
 
 

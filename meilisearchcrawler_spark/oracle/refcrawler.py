@@ -261,6 +261,7 @@ def _process_page(pages, url, depth, now, res, stats, processed_hashes,
             "images": images, "lang": lang, "timestamp": int(now),
             "indexed_at": now, "last_crawled_at": now,
             "content_hash": content_hash,
+            "content_source": parsed.content_source,
         }
         res.url_seen[final_url] = {
             "url": final_url, "content_hash": content_hash, "doc_id": doc_id,

@@ -52,6 +52,15 @@ def get_spark(master: str | None = None, shuffle_partitions: int = 32,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE size shuffles by BYTES, not core count: without this,
+        # AQE refuses to coalesce below the default parallelism, so a
+        # 2k-row round frame shuffles into 32 near-empty partitions and
+        # every downstream job pays 32 task dispatches + 32 python
+        # workers for kilobytes of data (measured 22% of full-crawl
+        # wall at local[32]). On a real cluster large rounds keep full
+        # width automatically — the advisory size governs.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

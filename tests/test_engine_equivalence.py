@@ -78,7 +78,7 @@ def _assert_equivalent(eng: CrawlEngine, oracle_by_site: dict, *,
         for did, o in o_docs.items():
             e = e_docs[did]
             for k in ("url", "title", "excerpt", "content", "content_hash",
-                      "lang", "timestamp"):
+                      "content_source", "lang", "timestamp"):
                 assert e[k] == o[k], f"{site}: doc[{did}].{k}"
             eimgs = [(i["url"], i["alt"], i["description"])
                      for i in (e["images"] or [])]

@@ -313,6 +313,27 @@ class TestMessyDialect:
     def test_lang_messy(self):
         assert H.sniff_lang_from_html("<Html LANG=en-US><body></body></Html>") == "en"
 
+    def test_gt_inside_quoted_attribute(self):
+        """Quote-aware tag scanner (round-3 verdict next-step #8): a
+        literal '>' inside a quoted attribute value must not end the
+        tag token — links/images/selectors/text all survive it."""
+        html = ('<html><body>'
+                '<a href="/c1" title="a > b">x</a>'
+                "<img src='/i/a.png' alt='1 > 0' width=200 height=200>"
+                '<div id="zone" data-note="x>y"><p>zone text</p></div>'
+                '</body></html>')
+        links = H.extract_links(html, "http://s.com/", "http://s.com/")
+        assert links == ["http://s.com/c1"]
+        imgs = H.extract_images(html, "http://s.com/")
+        assert [(i["url"], i["alt"]) for i in imgs] == [
+            ("http://s.com/i/a.png", "1 > 0")]
+        assert H.extract_main_content(html, "#zone") == "zone text"
+        assert H.get_text('<p title="a>b">text</p>') == "text"
+        # nesting-aware extent matching with a '>' in the close-path
+        html2 = ('<html><body><div id="zone"><div data-x="1>2">inner'
+                 '</div> tail</div></body></html>')
+        assert H.extract_main_content(html2, "#zone") == "inner tail"
+
     def test_twin_fixture_parse_equality(self):
         """Every page of the messy web must parse byte-identically to
         its clean twin (title, content, images incl. captions, links,
