@@ -1027,9 +1027,22 @@ def _q92_oracle_sql() -> str:
             import io
             import wave
 
+            # mirror the engine kernel's full wav semantics (round-4
+            # advisor item): non-16-bit sampwidth rejects as
+            # decode_ok=false; multi-channel downmixes by rounded
+            # per-frame mean — the replay must not silently diverge if
+            # the fixture ever emits non-mono / non-16-bit rows
             with wave.open(io.BytesIO(a["bytes"]), "rb") as w:
+                if w.getsampwidth() != 2:
+                    rows.append(rec)
+                    continue
                 x = np.frombuffer(w.readframes(w.getnframes()),
-                                  dtype="<i2").astype(np.float64)
+                                  dtype="<i2")
+                nch = w.getnchannels()
+                if nch > 1:
+                    x = np.rint(
+                        x.reshape(-1, nch).mean(axis=1)).astype("<i2")
+                x = x.astype(np.float64)
         else:
             rows.append(rec)
             continue

@@ -192,13 +192,43 @@ def main() -> None:
     if image:
         out["image_urls_per_sec"] = image["images_per_sec"]
         out["image_stage_sec"] = image["sec"]
+    # The stdout headline must stay SMALL: the driver keeps only the
+    # last ~2000 chars of stdout and parses the last complete JSON line
+    # in it — BENCH_r04's 2.2 kB line was clipped mid-object and the
+    # round's record lost its machine-readable block (round-4 verdict
+    # #2). Probe detail therefore goes to bench_probes.json (committed
+    # per-round) + stderr; stdout carries the compact summary only.
+    probes = {
+        "frontier_pop_scale": pop_scale,
+        "seen_scale": seen_scale,
+        "bloom_delta_scale": bloom_scale,
+    }
+    probe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_probes.json")
+    with open(probe_path, "w") as f:
+        json.dump({"headline": out, "probes": probes}, f, indent=1)
+    print(f"# full probe detail -> {probe_path}", file=sys.stderr)
     if pop_scale:
-        out["frontier_pop_scale"] = pop_scale
+        out["frontier_growth_10x"] = {
+            "old": pop_scale.get("growth_10x_old"),
+            "new": pop_scale.get("growth_10x_new")}
     if seen_scale:
-        out["seen_scale"] = seen_scale
+        out["seen_growth_10x"] = {
+            k.removeprefix("growth_10x_"): v
+            for k, v in seen_scale.items()
+            if k.startswith("growth_10x_") and k.endswith("_new")}
     if bloom_scale:
         out["bloom_delta_scale"] = bloom_scale
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # hard guard: never exceed the tail window
+        for k in ("seen_growth_10x", "frontier_growth_10x",
+                  "bloom_delta_scale", "iqr"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 1800:
+                break
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

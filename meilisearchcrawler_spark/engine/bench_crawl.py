@@ -36,7 +36,11 @@ def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
     if key in _FIXTURE_CACHE:
         return _FIXTURE_CACHE[key]
     base = base_dir or os.path.join(tempfile.gettempdir(), "mcspark_benchweb")
-    out = os.path.join(base, f"v3_s{seed}_n{n_sites}_p{pages_per_site}_f{fanout[0]}")
+    # v4: both fanout components in the name — with the _DONE disk
+    # fast-path, two configs differing only in fanout[1] must not share
+    # one cached fixture (round-4 advisor item)
+    out = os.path.join(
+        base, f"v4_s{seed}_n{n_sites}_p{pages_per_site}_f{fanout[0]}x{fanout[1]}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         # disk fast-path: reload the fixture tables instead of
@@ -422,9 +426,18 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                     try:
                         out[key][regime]["seen_inpush"] = timed(inpush_seen)
                     except Exception as exc:
-                        out[key][regime]["seen_inpush"] = (
-                            f"error: {type(exc).__name__}: "
-                            f"{str(exc).splitlines()[0][:120]}")
+                        # errors are data, but STRUCTURED data (round-4
+                        # verdict #3): the known finding is parquet-mr's
+                        # recursive Or-tree predicate builder overflowing
+                        # at ~10^4 pushed In-keys — the measured ceiling
+                        # that keeps broadcast-semi the wide-round
+                        # default (ROUND4.md #6).
+                        msg = str(exc)
+                        kind = ("parquet_in_pushdown_stack_overflow"
+                                if "StackOverflowError" in msg
+                                else type(exc).__name__)
+                        out[key][regime]["seen_inpush"] = {
+                            "error": kind, "keys": n_keys}
                 keys.unpersist()
         ks = list(out)
         if len(ks) >= 2:

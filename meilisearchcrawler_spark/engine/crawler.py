@@ -197,8 +197,15 @@ def frontier_hist(live: DataFrame) -> dict:
     where corpus-sized windows are allowed."""
     w = Window.partitionBy("site", "depth").orderBy("counter")
     cw = Window.partitionBy("site", "depth")
+    # 64-bit rank: row_number() is IntegerType and would overflow past
+    # ~2.1e9 rows in a single (site, depth) band — _HIST_RANKS itself
+    # extends to ~8.6e9 (round-4 advisor item). counter is unique per
+    # row, so a running count over the counter order IS row_number,
+    # just LongType.
     rows = (live.select("site", "depth", "counter")
-            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_rn", F.count("*").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
             .withColumn("_n", F.count("*").over(cw))
             .filter(F.col("_rn").isin(list(_HIST_RANKS))
                     | (F.col("_rn") == F.col("_n")))

@@ -45,17 +45,18 @@ def make_video(media_id: str, w: int = 32, h: int = 24, fps: float = 10.0,
 
 
 def wav_wrap(pcm_payload: bytes, sample_rate: int,
-             n_channels: int = 1) -> bytes:
-    """Wrap raw little-endian int16 PCM in a RIFF/WAVE container via
-    the stdlib ``wave`` writer — the real-format twin of a pcm16 row
-    (same samples, so decode equality is the oracle)."""
+             n_channels: int = 1, sampwidth: int = 2) -> bytes:
+    """Wrap raw PCM in a RIFF/WAVE container via the stdlib ``wave``
+    writer — the real-format twin of a pcm16 row (same samples, so
+    decode equality is the oracle). ``sampwidth=1`` builds the 8-bit
+    container the decoder must REJECT (decode_ok=false)."""
     import io
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
         w.writeframes(pcm_payload)
     return buf.getvalue()
@@ -69,12 +70,32 @@ def generate_media(n_audio: int = 20, n_video: int = 10,
     every ``wav_every``-th remaining audio row ships as a real WAV
     container holding the identical samples."""
     audio = []
+    wav_idx = 0
     for i in range(n_audio):
         row = make_audio(f"aud{i:04d}", duration_ms=150 + 25 * (i % 5))
         if opaque_every and i % opaque_every == opaque_every - 1:
             row["fmt"] = "opus"
         elif wav_every and i % wav_every == wav_every - 1:
-            row["bytes"] = wav_wrap(row["bytes"], row["sample_rate"])
+            # cycle the wav container shapes so the decode kernel's
+            # full wav semantics are LIVE in the fixture (round-4
+            # advisor item — previously every wav row was mono/16-bit
+            # and the downmix + sampwidth-rejection paths were dead
+            # code in the value-hashed q92): every 4th wav row is an
+            # 8-bit container (decode_ok=false), every 2nd is stereo
+            # (per-frame-mean downmix), the rest mono 16-bit.
+            wav_idx += 1
+            pcm = np.frombuffer(row["bytes"], dtype="<i2")
+            if wav_idx % 4 == 3:
+                u8 = ((pcm.astype(np.int32) >> 8) + 128).astype(np.uint8)
+                row["bytes"] = wav_wrap(u8.tobytes(), row["sample_rate"],
+                                        sampwidth=1)
+            elif wav_idx % 2 == 0:
+                st = np.stack([pcm, np.roll(pcm, 1)], axis=1).astype("<i2")
+                row["bytes"] = wav_wrap(st.tobytes(), row["sample_rate"],
+                                        n_channels=2)
+                row["n_channels"] = 2
+            else:
+                row["bytes"] = wav_wrap(pcm.tobytes(), row["sample_rate"])
             row["fmt"] = "wav"
         audio.append(row)
     video = []

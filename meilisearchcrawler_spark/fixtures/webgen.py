@@ -153,6 +153,13 @@ def _messify(html: str, rng: random.Random) -> str:
         # the token early) without changing any extracted value
         if not closing and rng.random() < 0.12:
             out += ' data-m="g>t"'
+        # inert comment BEFORE the tag, containing an unpaired quote
+        # and a bare '>': legal per HTML (only `-->` ends a comment),
+        # kills both a non-comment-aware scanner (token leak) and a
+        # quote-aware-only one (unmatchable at the unpaired quote) —
+        # round-4 advisor item
+        if not closing and rng.random() < 0.06:
+            out = "<!-- don't > trust comments -->" + out
         return out
 
     return _TAG_NAME.sub(recase, _DQ_ATTR.sub(requote, html))

@@ -16,9 +16,13 @@ a real tokenizer (:func:`parse_attrs`) accepting the quoting dialects
 browsers and BeautifulSoup accept: double-quoted, single-quoted,
 unquoted, and bare boolean attributes, with case-insensitive attribute
 and tag names and ``class`` matched by token membership. The tag
-scanner is quote-aware: a literal ``>`` inside a quoted attribute
-value does NOT end the tag token (round-4; previously the last
-documented tokenizer gap vs a full HTML5 tree builder). The oracle
+scanner is quote-aware — a literal ``>`` inside a quoted attribute
+value does NOT end the tag token (round 4) — with a plain ``[^>]*``
+fallback for degenerate tags carrying an unpaired quote, and comments
+are handled explicitly (``-->``-terminated, stripped before element
+scanning), per the round-4 advisor item. Remaining known gaps vs a
+full HTML5 tree builder: CDATA and raw-text element content
+(script/style bodies containing ``<``). The oracle
 (``oracle/refcrawler.py``) calls these same kernels, so engine↔oracle
 extraction equality is by construction; extraction *truth* is pinned
 by direct unit tests over handcrafted nested/messy documents, and the
@@ -36,19 +40,43 @@ from .urls import is_valid_url, normalize_url
 from urllib.parse import urljoin
 
 # Quote-aware tag inside: a literal `>` within a quoted attribute value
-# no longer ends the tag token (the last round-3 tokenizer gap vs a
-# real HTML5 tree builder). Linear-time: the three alternatives are
-# mutually exclusive on their first character.
+# no longer ends the tag token (round 4). Round 5 (advisor item): a tag
+# containing an UNPAIRED quote (e.g. unquoted O'Brien) makes the
+# quote-aware form unmatchable, so every tag regex carries a plain
+# ``[^>]*`` fallback alternative — the pre-round-4 scanner — tried only
+# when the quote-aware form fails; a degenerate tag is then consumed as
+# one token (ending at the first ``>``, as browsers' error recovery and
+# the old scanner do) instead of leaking into extracted text.
+# Comments are handled explicitly BEFORE tag scanning (``_COMMENT``,
+# matched first in ``_TAG`` and stripped up front by the public
+# kernels): per HTML only ``-->`` ends a comment, so both ``>`` and
+# unpaired quotes are legal inside one. Residual gaps vs a full HTML5
+# tree builder: CDATA sections and raw-text element content
+# (script/style bodies containing ``<``) are not special-cased.
 _IN = r"""(?:[^>"']|"[^"]*"|'[^']*')"""
-_TAG = re.compile(rf"</?[a-zA-Z!?]{_IN}*>")
-_TITLE = re.compile(rf"<title{_IN}*>(.*?)</title>",
+_INF = rf"(?:{_IN}*|[^>]*)"
+_COMMENT = re.compile(r"<!--.*?(?:-->|$)", re.DOTALL)
+_TAG = re.compile(rf"{_COMMENT.pattern}|</?[a-zA-Z!?]{_INF}>", re.DOTALL)
+_TITLE = re.compile(rf"<title{_INF}>(.*?)</title>",
                     re.IGNORECASE | re.DOTALL)
-_H1 = re.compile(rf"<h1{_IN}*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
-_META = re.compile(rf"<meta\b({_IN}*)>", re.IGNORECASE)
-_HTML_OPEN = re.compile(rf"<html\b({_IN}*)>", re.IGNORECASE)
-_A_TAG = re.compile(rf"<a\b({_IN}*)>", re.IGNORECASE)
-_IMG = re.compile(rf"<img\b({_IN}*)>", re.IGNORECASE)
-_ANY_OPEN = re.compile(rf"<([a-zA-Z][a-zA-Z0-9]*)\b({_IN}*)>")
+_H1 = re.compile(rf"<h1{_INF}>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
+_META = re.compile(rf"<meta\b({_IN}*|[^>]*)>", re.IGNORECASE)
+_HTML_OPEN = re.compile(rf"<html\b({_IN}*|[^>]*)>", re.IGNORECASE)
+_A_TAG = re.compile(rf"<a\b({_IN}*|[^>]*)>", re.IGNORECASE)
+_IMG = re.compile(rf"<img\b({_IN}*|[^>]*)>", re.IGNORECASE)
+_ANY_OPEN = re.compile(rf"<([a-zA-Z][a-zA-Z0-9]*)\b({_IN}*|[^>]*)>")
+
+
+def _strip_comments(html: str) -> str:
+    """Replace each comment with one space (only when one is present —
+    the common no-comment page pays a substring scan). Public kernels
+    call this up front so attribute/element regexes and the depth
+    counter in :func:`_element_span` never see commented-out markup
+    (BeautifulSoup parses comments as Comment nodes; a commented
+    ``<div>`` must not desync span matching)."""
+    return _COMMENT.sub(" ", html) if "<!--" in html else html
+
+
 # One attribute token: name, then optionally = double-quoted /
 # single-quoted / unquoted value (the three quoting forms browsers and
 # BeautifulSoup accept; a bare name is a boolean attribute → "").
@@ -139,7 +167,7 @@ def _element_span(html: str, tag: str, open_end: int) -> tuple[int, int] | None:
     BeautifulSoup). Returns None for an unclosed element."""
     if tag.lower() in _VOID_TAGS:
         return open_end, open_end
-    tok = re.compile(rf"<(/?){tag}\b{_IN}*>", re.IGNORECASE)
+    tok = re.compile(rf"<(/?){tag}\b{_INF}>", re.IGNORECASE)
     depth = 1
     for m in tok.finditer(html, open_end):
         if m.group(1):
@@ -157,7 +185,7 @@ def _extract_element(html: str, kind: str, name: str) -> str | None:
     BeautifulSoup ``find(id=...)`` / ``find(class_=...)`` semantics the
     reference relies on (crawler.py:538-546)."""
     if kind == "tag":
-        m = re.search(rf"<{name}\b{_IN}*>", html, re.IGNORECASE)
+        m = re.search(rf"<{name}\b{_INF}>", html, re.IGNORECASE)
         if not m:
             return None
         span = _element_span(html, name, m.end())
@@ -248,6 +276,7 @@ def _og_title(html: str) -> str | None:
 def get_title(html: str) -> str:
     """P6. Priority: og:title → <title> → first <h1> → 'Sans titre'
     (crawler.py:564-571)."""
+    html = _strip_comments(html)
     og = _og_title(html)
     if og and og.strip():
         return og.strip()
@@ -290,6 +319,7 @@ def extract_main_content_tagged(html: str,
     ``fallback`` (densest-in-body, ref :543-553). Every non-``selector``
     row is a page where the reference would consult trafilatura FIRST —
     the column a trafilatura-equipped deployment uses to backfill."""
+    html = _strip_comments(html)
     if selector:
         kind = "id" if selector.startswith("#") else "class" if selector.startswith(".") else "tag"
         inner = _extract_element(html, kind, selector.lstrip("#."))
@@ -313,7 +343,7 @@ def extract_main_content_tagged(html: str,
 
 
 def get_lang_attr(html: str) -> str | None:
-    m = _HTML_OPEN.search(html)
+    m = _HTML_OPEN.search(_strip_comments(html))
     if not m:
         return None
     return parse_attrs(m.group(1)).get("lang")
@@ -331,7 +361,7 @@ def extract_images(html: str, base_url: str, max_images: int = 5) -> list[dict]:
     ``alt or 'Image'`` doubles as description (the caption invariant)."""
     images: list[dict] = []
     seen: set[str] = set()
-    for m in _IMG.finditer(html):
+    for m in _IMG.finditer(_strip_comments(html)):
         if len(images) >= max_images:
             break
         attrs = parse_attrs(m.group(1))
@@ -363,7 +393,7 @@ def extract_links(html: str, final_url: str, seed_url: str) -> list[str]:
     from .urls import is_same_domain
 
     links: list[str] = []
-    for m in _A_TAG.finditer(html):
+    for m in _A_TAG.finditer(_strip_comments(html)):
         href = parse_attrs(m.group(1)).get("href")
         if not href:
             continue
@@ -387,6 +417,7 @@ def parse_page(html: str, final_url: str, seed_url: str,
                extract_link_targets: bool = True) -> ParsedPage:
     """One-pass page parse used by both the fetch-round UDF and the
     oracle."""
+    html = _strip_comments(html)
     content_raw, content_source = extract_main_content_tagged(html, selector)
     return ParsedPage(
         title=get_title(html),

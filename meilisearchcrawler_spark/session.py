@@ -67,6 +67,14 @@ def get_spark(master: str | None = None, shuffle_partitions: int = 32,
         # (measured 2.7x slower than 16 MB → 31 partitions); kilobyte
         # frames still collapse to 1 either way.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # pin the parquet In-pushdown threshold at its safe default:
+        # parquet-mr's recursive Or-tree predicate builder
+        # stack-overflows at ~10^4 pushed In-values (measured,
+        # ROUND4.md #6 / BENCH_r04 scan10k), so no engine path may ever
+        # push a large key list — wide rounds use the broadcast-build
+        # semi-join instead, and a cluster-level override of this knob
+        # must not change that.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "10")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

@@ -334,6 +334,41 @@ class TestMessyDialect:
                  '</div> tail</div></body></html>')
         assert H.extract_main_content(html2, "#zone") == "inner tail"
 
+    def test_comment_with_unpaired_quote_and_gt(self):
+        """Round-4 advisor item: tags/comments carrying an UNPAIRED
+        quote (<!-- don't -->) or a bare '>' (<!-- a > b -->) must be
+        consumed as one token, not leak into extracted text or desync
+        element-span matching."""
+        html = ("<html><body><div id=\"zone\"><!-- don't --><p>zone"
+                " text</p><!-- a > b --></div> tail</body></html>")
+        assert H.extract_main_content(html, "#zone") == "zone text"
+        assert H.get_text("a<!-- don't -->b") == "a b"
+        assert H.get_text("a<!-- x > y -->b") == "a b"
+        # unterminated comment runs to EOF (HTML5 error recovery)
+        assert H.get_text("a<!-- don't close") == "a"
+        # commented-out markup must not count in the depth matcher
+        html2 = ("<html><body><div id=\"zone\">inner"
+                 "<!-- <div> phantom's open --></div> tail</body></html>")
+        assert H.parse_page(html2, "http://s.com/", "http://s.com/",
+                            "#zone").content_raw == "inner"
+        # commented-out links/images are not extracted
+        html3 = ("<html><body><!-- <a href=/c9>x</a> "
+                 "<img src=/i/z.png width=200 height=200> -->"
+                 "<a href=/c1>x</a></body></html>")
+        assert H.extract_links(html3, "http://s.com/", "http://s.com/") \
+            == ["http://s.com/c1"]
+        assert H.extract_images(html3, "http://s.com/") == []
+
+    def test_unpaired_quote_in_tag_falls_back(self):
+        """A degenerate tag with an unpaired quote (unquoted O'Brien)
+        is unmatchable by the quote-aware form — the [^>]* fallback
+        must consume it to the first '>' (the old-scanner/browser
+        error-recovery behavior) instead of leaking it into text."""
+        assert H.get_text("<p title=O'Brien>text</p>") == "text"
+        html = ("<html><body><div id=\"zone\"><span data-x=don't>zone"
+                " text</span></div></body></html>")
+        assert H.extract_main_content(html, "#zone") == "zone text"
+
     def test_twin_fixture_parse_equality(self):
         """Every page of the messy web must parse byte-identically to
         its clean twin (title, content, images incl. captions, links,

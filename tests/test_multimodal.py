@@ -29,20 +29,31 @@ def test_audio_features_exact(spark):
     df = spark.createDataFrame(audio, schema=AUDIO_SCHEMA)
     got = {r["media_id"]: r for r in audio_features(df).collect()}
     assert len(got) == 20
-    n_wav = 0
+    n_wav = n_stereo = n_lofi = 0
     for row in audio:
         g = got[row["media_id"]]
         if row["fmt"] not in ("pcm16", "wav"):
             assert g["decode_ok"] is False and g["rms"] is None
             continue
         if row["fmt"] == "wav":
-            # independent stdlib-wave oracle for the real container path
+            # independent stdlib-wave oracle mirroring the kernel's
+            # FULL wav semantics: sampwidth!=2 rejects, multi-channel
+            # downmixes by rounded per-frame mean
             import io
             import wave
 
             with wave.open(io.BytesIO(row["bytes"]), "rb") as w:
-                x = np.frombuffer(w.readframes(w.getnframes()),
-                                  dtype="<i2").astype(np.float64)
+                if w.getsampwidth() != 2:
+                    n_lofi += 1
+                    assert g["decode_ok"] is False and g["rms"] is None
+                    continue
+                x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+                nch = w.getnchannels()
+                if nch > 1:
+                    n_stereo += 1
+                    x = np.rint(
+                        x.reshape(-1, nch).mean(axis=1)).astype("<i2")
+                x = x.astype(np.float64)
             n_wav += 1
         else:
             x = np.frombuffer(row["bytes"], dtype="<i2").astype(np.float64)
@@ -52,8 +63,9 @@ def test_audio_features_exact(spark):
                             round(len(x) * 1000.0 / row["sample_rate"], 4))
         assert math.isclose(g["rms"], round(float(np.sqrt(np.mean(x ** 2))), 4))
         assert math.isclose(g["peak"], round(float(np.max(np.abs(x))), 4))
-    assert sum(1 for r in got.values() if not r["decode_ok"]) == 4  # opus rows
-    assert n_wav == 5  # real-container rows actually exercised
+    # 4 opus + 1 8-bit wav reject; stereo + lofi container shapes LIVE
+    assert sum(1 for r in got.values() if not r["decode_ok"]) == 5
+    assert n_wav == 4 and n_stereo == 2 and n_lofi == 1
 
 
 def test_frame_sampling_exact(spark):
