@@ -904,7 +904,12 @@ def q91_image_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = I.generate_images(fx.page_images, seed=5)
     path = os.path.join(tempfile.mkdtemp(prefix="mcspark_q91_"), "images.parquet")
     I.write_images_parquet(rows, path)
-    verified = decode_and_verify(spark.read.parquet(path))
+    # truth_fn injected HERE (harness side): the operator kernel runs
+    # the engine-owned decoder (operators/imagecodec.py) and never
+    # imports the fixture codec — encode (oracle side) and decode
+    # (Spark side) are independent implementations of the format spec
+    verified = decode_and_verify(spark.read.parquet(path),
+                                 truth_fn=I.pixels_for)
     return (verified.groupBy("fmt").agg(
         F.count("*").alias("n"),
         F.sum(F.col("decode_ok").cast("int")).alias("n_decode_ok"),

@@ -198,7 +198,7 @@ def image_stage_throughput(spark: SparkSession, n_images: int = 30_000,
           .withColumn("iidx", (F.col("id") % n_base).cast("int"))
           .join(F.broadcast(base), "iidx").drop("id", "iidx"))
     t0 = time.perf_counter()
-    stats = decode_and_verify(df).select(
+    stats = decode_and_verify(df, truth_fn=I.pixels_for).select(
         F.count("*").alias("n"),
         F.sum(F.col("decode_ok").cast("int")).alias("ok"),
         F.min("psnr_db").alias("min_psnr")).collect()[0]

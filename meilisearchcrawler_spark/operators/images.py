@@ -3,9 +3,13 @@
 The payload table carries opaque ``binary`` image bytes with typed
 metadata (input_hint shape). All pixel work happens in Arrow-batched
 ``mapInPandas`` kernels — the Spark-side plumbing (schema, partitioning,
-batch shape) is real; the codec is the in-repo deterministic
-numpy codec (``fixtures/imagegen.py``; a real deployment swaps in
-PIL/libjpeg behind the same kernel signature).
+batch shape) is real; decoding goes through the ENGINE-owned codec
+(``operators/imagecodec.py`` — a real deployment swaps in PIL/libjpeg
+behind the same signatures). The fixture encoder
+(``fixtures/imagegen.py``) is deliberately NOT imported here: encoder
+and decoder are independent implementations of the same format spec,
+so a bug on either side fails the cross-implementation round-trip
+tests instead of cancelling out (round-4 verdict next-step #6).
 
 Scale notes: decode is embarrassingly parallel — no shuffle at all;
 the verify/feature kernels are pure map stages whose cost is bounded by
@@ -47,15 +51,25 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def decode_and_verify(df: DataFrame) -> DataFrame:
-    """Per-row decode invariants (input_hint): decoded pixels exactly
-    equal the deterministic ground truth for lossless formats, PSNR ≥
-    40 dB for lossy; recomputed phash equals the stored phash."""
+def decode_and_verify(df: DataFrame, truth_fn=None) -> DataFrame:
+    """Per-row decode invariants (input_hint): decode succeeds with the
+    declared format/dimensions, and the phash recomputed from decoded
+    pixels matches the stored phash (exactly for lossless rows,
+    Hamming-close for lossy).
+
+    ``truth_fn(image_id, w, h) -> ndarray`` optionally injects a
+    regenerable ground truth — the synthetic fixture's ``pixels_for``,
+    passed in BY the tests/bench/q91 harness, never imported here —
+    enabling the two fixture-only invariants ``pixels_exact`` (lossless
+    rows byte-equal the truth) and ``psnr_db`` (≥ 40 dB for the lossy
+    stand-in). Production corpora have no regenerable truth, so those
+    columns stay null and verification rests on decode_ok + the stored
+    phash."""
 
     def kernel(batches):
         import numpy as np
 
-        from ..fixtures import imagegen as I
+        from . import imagecodec as C
 
         for pdf in batches:
             out = []
@@ -66,16 +80,20 @@ def decode_and_verify(df: DataFrame) -> DataFrame:
                        "phash_stored": int(row.phash),
                        "phash_hamming": None, "decode_ok": False}
                 try:
-                    fmt, px = I.decode(bytes(row.bytes))
-                    truth = I.pixels_for(row.image_id, int(row.w), int(row.h))
+                    fmt, px = C.decode(bytes(row.bytes))
                     rec["decode_ok"] = (fmt == row.fmt
-                                        and px.shape == truth.shape)
-                    rec["psnr_db"] = round(I.psnr(px, truth), 3) \
-                        if np.isfinite(I.psnr(px, truth)) else 999.0
-                    rec["pixels_exact"] = bool(np.array_equal(px, truth))
-                    ph = I.phash64(px)
+                                        and px.shape == (int(row.h),
+                                                         int(row.w), 3))
+                    if truth_fn is not None:
+                        truth = truth_fn(row.image_id, int(row.w),
+                                         int(row.h))
+                        p = C.psnr(px, truth)
+                        rec["psnr_db"] = round(p, 3) \
+                            if np.isfinite(p) else 999.0
+                        rec["pixels_exact"] = bool(np.array_equal(px, truth))
+                    ph = C.phash64(px)
                     rec["phash_decoded"] = np.int64(np.uint64(ph)).item()
-                    rec["phash_hamming"] = I.hamming64(
+                    rec["phash_hamming"] = C.hamming64(
                         np.uint64(ph).item(),
                         np.uint64(np.int64(row.phash)).item())
                 except Exception:
@@ -94,13 +112,13 @@ def image_features(df: DataFrame) -> DataFrame:
     def kernel(batches):
         import numpy as np
 
-        from ..fixtures import imagegen as I
+        from . import imagecodec as C
 
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    _, px = I.decode(bytes(row.bytes))
+                    _, px = C.decode(bytes(row.bytes))
                     pxf = px.astype(np.float64)
                     luma = pxf.mean(axis=2)
                     gy, gx = np.gradient(luma)

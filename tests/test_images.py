@@ -53,7 +53,7 @@ class TestImageOperators:
         _, rows, path = images_fixture
         assert rows, "fixture produced no images"
         df = spark.read.parquet(path)
-        out = decode_and_verify(df).collect()
+        out = decode_and_verify(df, truth_fn=I.pixels_for).collect()
         assert len(out) == len(rows)
         for r in out:
             assert r["decode_ok"], r["image_id"]
@@ -101,3 +101,63 @@ class TestImageOperators:
             df.select("image_id", "phash").unionByName(twin), max_hamming=6)
         hits = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (first["image_id"], "zzz_twin") in hits
+
+
+class TestCodecIndependence:
+    """The engine decoder (operators/imagecodec.py) and the fixture
+    encoder (fixtures/imagegen.py) are separate implementations of the
+    payload format spec (round-4 verdict next-step #6): the operator
+    kernels must not import the fixture codec, and the two sides must
+    round-trip to the same truth."""
+
+    def test_operator_kernels_import_no_fixtures(self):
+        import ast
+        import inspect
+
+        from meilisearchcrawler_spark.operators import images as mod
+
+        for node in ast.walk(ast.parse(inspect.getsource(mod))):
+            if isinstance(node, ast.Import):
+                names = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom):
+                names = [node.module or ""] + [a.name for a in node.names]
+            else:
+                continue
+            assert not any("fixtures" in n or n == "imagegen"
+                           for n in names), (
+                "operator kernel must use the engine codec, not the "
+                f"fixture codec: {names}")
+
+    def test_cross_implementation_roundtrip(self):
+        from meilisearchcrawler_spark.operators import imagecodec as C
+
+        fx = generate_web(seed=23, n_sites=2, pages_per_site=25)
+        rows = I.generate_images(fx.page_images, seed=23)
+        assert rows
+        for r in rows:
+            fmt, px = C.decode(r["bytes"])
+            assert fmt == r["fmt"]
+            truth = I.pixels_for(r["image_id"], r["w"], r["h"])
+            if fmt in ("bmp", "png"):
+                # fixture-encoded lossless decodes byte-exact on the
+                # ENGINE side
+                assert np.array_equal(px, truth), r["image_id"]
+            else:
+                assert C.psnr(px, truth) >= 40.0, r["image_id"]
+            # phash bit-equality on identical pixels across the two
+            # implementations (stored hash came from the fixture side)
+            assert C.phash64(truth) == np.uint64(
+                np.int64(r["phash"])).item(), r["image_id"]
+
+    def test_engine_codec_rejects_malformed(self):
+        import pytest
+
+        from meilisearchcrawler_spark.operators import imagecodec as C
+
+        with pytest.raises(ValueError):
+            C.decode(b"NOPE" + b"\x00" * 16)
+        with pytest.raises(ValueError):
+            C.decode(b"MCSI")  # short header
+        good = I.encode(I.pixels_for("x", 32, 32), "bmp")
+        with pytest.raises(ValueError):
+            C.decode(good[:-7])  # truncated body
