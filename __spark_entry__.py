@@ -1101,6 +1101,101 @@ def _q93_oracle_sql() -> str:
         "mean_lum": "DOUBLE"})
 
 
+_BACKFILL_DOC_SCHEMA = (
+    "id string, site string, url string, title string, excerpt string, "
+    "content string, content_source string, "
+    "images array<struct<url:string,alt:string,description:string>>, "
+    "lang string, content_hash string")
+
+
+def _backfill_fixture() -> tuple[list[dict], list[dict]]:
+    """Deterministic (docs, pages) pair for q94: documents synthesized
+    by the SAME parse/clean kernels the crawl path runs — so
+    content_source carries the real selector/candidate/fallback mix —
+    plus the raw page HTML the backfill job re-extracts from."""
+    from meilisearchcrawler_spark.fixtures.webgen import generate_web
+    from meilisearchcrawler_spark.functions.html import parse_page
+    from meilisearchcrawler_spark.functions.text import (
+        clean_text, create_excerpt, get_content_hash, sniff_lang)
+    from meilisearchcrawler_spark.functions.urls import generate_doc_id
+
+    # 3 sites so a per-site selector is present (site2 uses
+    # "#content") and the never-consulted selector branch is live
+    fx = generate_web(seed=9, n_sites=3, pages_per_site=40)
+    selectors = {s["site"]: s.get("selector") for s in fx.seeds}
+    docs, pages = [], []
+    for p in fx.pages:
+        seed_url = f"http://{p['host']}/"
+        parsed = parse_page(p["html"], p["url"], seed_url,
+                            selectors.get(p["site"]))
+        content = clean_text(parsed.content_raw)
+        excerpt = create_excerpt(content)
+        docs.append({
+            "id": generate_doc_id(p["url"]), "site": p["site"], "url": p["url"],
+            "title": parsed.title, "excerpt": excerpt, "content": content,
+            "content_source": parsed.content_source,
+            "images": parsed.images,
+            "lang": sniff_lang(parsed.lang_attr),
+            "content_hash": get_content_hash(content, parsed.title,
+                                             parsed.images, excerpt)})
+        pages.append({"url": p["url"], "html": p["html"]})
+    return docs, pages
+
+
+def q94_backfill_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trafilatura backfill job (operators/backfill.py, the deployment
+    hook for the reference's selector → trafilatura → heuristic order,
+    crawler.py:520-561): re-extract exactly the candidate/fallback
+    rows with a pluggable extractor under the len>250 accept gate.
+    Value-hashed vs the pure-Python replay of the same job
+    (_q94_oracle_sql). Ignores sf_dir — input is the deterministic
+    webgen fixture."""
+    from meilisearchcrawler_spark.operators.backfill import backfill_content
+
+    docs_rows, page_rows = _backfill_fixture()
+    docs = spark.createDataFrame(docs_rows, schema=_BACKFILL_DOC_SCHEMA)
+    pages = spark.createDataFrame(page_rows,
+                                  schema="url string, html string")
+
+    def stub_extractor(html, url):
+        # deterministic stand-in for trafilatura.extract: whole-page
+        # text — long pages clear the gate, short ones decline
+        from meilisearchcrawler_spark.functions.html import get_text
+        return "TRAFILATURA:: " + get_text(html)
+
+    out = backfill_content(docs, pages, stub_extractor)
+    return out.select("url", "content_source", "content_hash",
+                      F.length("content").alias("content_len"))
+
+
+def _q94_oracle_sql() -> str:
+    """Pure-Python replay of the backfill job over the same fixture,
+    serialized as typed VALUES (the q90 pattern)."""
+    from meilisearchcrawler_spark.functions.html import get_text
+    from meilisearchcrawler_spark.functions.text import (
+        clean_text, create_excerpt, get_content_hash)
+
+    docs_rows, page_rows = _backfill_fixture()
+    html_by_url = {p["url"]: p["html"] for p in page_rows}
+    rows = []
+    for d in docs_rows:
+        content, source, chash = (d["content"], d["content_source"],
+                                  d["content_hash"])
+        if source in ("candidate", "fallback"):
+            extracted = "TRAFILATURA:: " + get_text(html_by_url[d["url"]])
+            if extracted and len(extracted) > 250:
+                content = clean_text(extracted)
+                excerpt = create_excerpt(content)
+                chash = get_content_hash(content, d["title"],
+                                         d["images"], excerpt)
+                source = "backfill"
+        rows.append({"url": d["url"], "content_source": source,
+                     "content_hash": chash, "content_len": len(content)})
+    return _values_sql(rows, {
+        "url": "VARCHAR", "content_source": "VARCHAR",
+        "content_hash": "VARCHAR", "content_len": "INT"})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke check)."""
     ship_package(spark)
@@ -1149,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_image_decode_invariants": q91_image_decode_invariants,
         "q92_multimodal_audio": q92_multimodal_audio,
         "q93_multimodal_frames": q93_multimodal_frames,
+        # q94: the trafilatura backfill job vs its pure-Python replay
+        "q94_backfill_content": q94_backfill_content,
     }
 
 
@@ -1304,6 +1401,7 @@ GROUP BY source""",
         "q91_image_decode_invariants": _q91_oracle_sql(),
         "q92_multimodal_audio": _q92_oracle_sql(),
         "q93_multimodal_frames": _q93_oracle_sql(),
+        "q94_backfill_content": _q94_oracle_sql(),
         "q23_text_quality": _quality_sql(),
         "q24_language_id": _langid_sql(),
         "q25_fingerprint": f"""
