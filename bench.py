@@ -166,7 +166,10 @@ def main() -> None:
                               .cast("int").alias("pid"), "url_hash"))
             hashes.persist().count()
             t0 = time.perf_counter()
-            rows = (hashes.groupBy("pid")
+            # width pinned as in the engine stage (crawler.py): the
+            # CPU-bound bitmap build must not be byte-coalesced narrow
+            rows = (hashes.repartition(min(P, int(cpus)), "pid")
+                    .groupBy("pid")
                     .applyInPandas(build_delta, schema="pid int, bits binary")
                     .collect())
             bloom_scale[f"rows_{n:.0e}".replace("+0", "")] = round(
