@@ -30,6 +30,9 @@ SF001 = "/root/testdata/sf0.001"
 _ANN_NBITS = 6
 _ANN_SEED = 42
 _ANN_DIM = 64
+_IVF_NC = 16       # coarse-quantizer lists
+_IVF_NPROBE = 4    # probed lists per query
+_IVF_ITERS = 1     # Lloyd refinements over the training sample
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -299,6 +302,18 @@ def q22_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           nbits=_ANN_NBITS, seed=_ANN_SEED)
 
 
+def q34_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2, Faiss-style IVF (vs q22's hyperplane LSH):
+    deterministic coarse-quantizer training (seed = 16 smallest ids +
+    one Lloyd-IP refinement, 6-dp-rounded plan constants), map-only
+    assignment, probe the 4 best inverted lists, exact cosine top-k
+    within them. Oracle replays training + probe + rerank in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10,
+                      n_centroids=_IVF_NC, nprobe=_IVF_NPROBE,
+                      iters=_IVF_ITERS)
+
+
 def q23_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quality_features(_t(spark, sf_dir, "documents"))
 
@@ -410,6 +425,55 @@ SELECT p.vec_id, p.bucket,
               * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
 FROM probe p, q
 ORDER BY score DESC, p.vec_id LIMIT 10"""
+
+
+def _ivf_sql() -> str:
+    """SQL replay of :func:`operators.similarity.ivf_topk` including
+    the training: seeds = 16 smallest ids (6-dp rounded), one Lloyd
+    iteration under inner-product assignment (ties -> lowest cid; 6-dp
+    rounded means; empty clusters keep their seed), probe = top-4
+    centroids by dot(query, c), exact cosine top-k over probed lists."""
+    nc, nprobe, dim = _IVF_NC, _IVF_NPROBE, _ANN_DIM
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS c
+  FROM embeddings ORDER BY vec_id LIMIT {nc}),
+a0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], s.c) DESC,
+                      s.cid) AS rn
+    FROM embeddings e, seeds s) WHERE rn = 1),
+cent1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT a.cid, t.i AS pos, round(avg(a.v[t.i]), 6) AS m
+    FROM a0 a, LATERAL unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.cid, t.i)
+  GROUP BY cid),
+cent AS (
+  SELECT s.cid, coalesce(c1.c, s.c) AS c
+  FROM seeds s LEFT JOIN cent1 c1 USING (cid)),
+probe AS (
+  SELECT cent.cid FROM cent, q
+  ORDER BY list_dot_product(q.qv, cent.c) DESC, cent.cid LIMIT {nprobe}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], cent.c) DESC,
+                      cent.cid) AS rn
+    FROM embeddings e, cent) WHERE rn = 1)
+SELECT a.vec_id, a.cid::INT AS cid,
+       round(list_dot_product(a.v, q.qv) /
+             (CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0 THEN 1.0
+                   ELSE sqrt(list_dot_product(a.v, a.v)) END
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM assign a, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY score DESC, a.vec_id LIMIT 10"""
 
 
 def _quality_sql() -> str:
@@ -1226,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_simhash": q20_simhash,
         "q21_cosine_topk": q21_cosine_topk,
         "q22_ann_lsh": q22_ann_lsh,
+        "q34_ann_ivf": q34_ann_ivf,
         "q23_text_quality": q23_text_quality,
         "q24_language_id": q24_language_id,
         "q25_fingerprint": q25_fingerprint,
@@ -1341,6 +1406,7 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id LIMIT 10""",
         "q22_ann_lsh": _ann_sql(),
+        "q34_ann_ivf": _ivf_sql(),
         "q28_search_stats": """
 SELECT event_type, count(*) AS n_queries,
        round(avg(value), 4) AS avg_ms,

@@ -28,11 +28,18 @@ _FIXTURE_CACHE: dict[tuple, tuple] = {}
 
 def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
                   fanout: tuple[int, int] = (14, 24),
-                  base_dir: str | None = None):
+                  base_dir: str | None = None, load_pages: bool = True):
     """Deterministic bench web, cached on disk across runs. High
     fan-out so each wave (round) carries thousands of URLs — per-URL
-    work must dominate round orchestration, as it does at scale."""
-    key = (n_sites, pages_per_site, seed, fanout)
+    work must dominate round orchestration, as it does at scale.
+
+    ``load_pages=False`` skips materializing the page/page_images
+    tables as Python lists on the disk fast-path — the engine reads
+    pages through the mmap-ed store (``paths["pages"]``), so callers
+    that only need seeds/robots/url_seen (every throughput harness)
+    avoid a multi-GB driver-side ``to_pylist()`` on megaweb fixtures.
+    Only the oracle/tests need ``fx.pages``."""
+    key = (n_sites, pages_per_site, seed, fanout, load_pages)
     if key in _FIXTURE_CACHE:
         return _FIXTURE_CACHE[key]
     base = base_dir or os.path.join(tempfile.gettempdir(), "mcspark_benchweb")
@@ -54,15 +61,21 @@ def bench_fixture(n_sites: int = 8, pages_per_site: int = 400, seed: int = 123,
             p = os.path.join(out, f"{name}.parquet")
             return _pq.read_table(p).to_pylist() if os.path.exists(p) else []
 
-        fx = WebFixture(seeds=_load("seeds"), pages=_load("pages"),
+        fx = WebFixture(seeds=_load("seeds"),
+                        pages=_load("pages") if load_pages else [],
                         robots=_load("robots"), url_seen=_load("url_seen"),
-                        page_images=_load("page_images"))
+                        page_images=_load("page_images") if load_pages else [])
     else:
         fx = generate_web(seed=seed, n_sites=n_sites,
                           pages_per_site=pages_per_site, fanout=fanout)
         write_parquet(fx, out)
         with open(marker, "w") as f:
             f.write("ok")
+        if not load_pages:
+            from ..fixtures.webgen import WebFixture
+
+            fx = WebFixture(seeds=fx.seeds, pages=[], robots=fx.robots,
+                            url_seen=fx.url_seen, page_images=[])
     feather = os.path.join(out, "pages.feather")
     if not os.path.exists(feather):
         # upgrade a pre-existing cached fixture with the mmap-able
@@ -86,7 +99,8 @@ def crawl_throughput(spark: SparkSession, n_sites: int = 8,
                      seed: int = 123,
                      fanout: tuple[int, int] = (14, 24)) -> dict:
     """Full crawl over the bench web; returns pages/sec + composition."""
-    fx, paths = bench_fixture(n_sites, pages_per_site, seed, fanout)
+    fx, paths = bench_fixture(n_sites, pages_per_site, seed, fanout,
+                              load_pages=False)
     root = tempfile.mkdtemp(prefix="mcspark_benchcat_")
     sp = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -128,7 +142,8 @@ def fetch_stage_throughput(spark: SparkSession, n_urls: int = 120_000,
     """
     from ..engine.crawler import FETCH_SCHEMA, _make_fetch_udf
 
-    fx, paths = bench_fixture(n_sites, pages_per_site, seed, fanout)
+    fx, paths = bench_fixture(n_sites, pages_per_site, seed, fanout,
+                              load_pages=False)
     sp = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
     site_configs = {

@@ -187,3 +187,104 @@ def cosine_near_pairs_lsh(df: DataFrame, threshold: float = 0.9,
                     F.col(f"b.{id_col}").alias("id_b"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct())
+
+
+# --------------------------------------------------------------- IVF ANN
+
+def _dot_sql(vec_sql: str, vals: list[float]) -> str:
+    return (f"aggregate(zip_with({vec_sql}, {_arr_sql(vals)}, "
+            f"(x, y) -> x * y), 0.0D, (acc, val) -> acc + val)")
+
+
+def _ivf_cid_expr(centroids: list[list[float]], vec_col: str) -> Column:
+    """Coarse-quantizer assignment as ONE server-side-parsed SQL
+    expression: cid = argmax_i dot(v, c_i), ties -> lowest cid
+    (``array_position`` returns the FIRST index of the max). Plan
+    literal, JVM-side, map-only — assignment never shuffles."""
+    v = f"cast({vec_col} as array<double>)"
+    ds = "array(" + ",".join(_dot_sql(v, c) for c in centroids) + ")"
+    return F.expr(
+        f"cast(array_position({ds}, array_max({ds})) as int) - 1")
+
+
+def ivf_train(df: DataFrame, n_centroids: int = 16, iters: int = 1,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int | None = None,
+              sample_mod: int = 1) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer training (Lloyd iterations
+    under the inner-product assignment), Spark-side.
+
+    * Seed centroids = the vectors of the ``n_centroids`` smallest ids
+      (``TakeOrderedAndProject`` — bounded collect), rounded to 6 dp so
+      the plan literal is reproducible across engines.
+    * Each iteration assigns the TRAINING SAMPLE (``pmod(id,
+      sample_mod) = 0`` — at corpus scale train on a thin deterministic
+      slice, not 100 TB) via the literal argmax expression (map-only),
+      then recomputes each centroid as the element-wise mean — ``dim``
+      ``avg`` aggregates in ONE map-side-partial groupBy, no explode,
+      no per-element shuffle rows. Empty clusters keep their previous
+      centroid. Centroids are rounded to 6 dp every iteration: both
+      this trainer and the DuckDB oracle replay see identical plan
+      constants regardless of FP summation order.
+
+    Centroids are tiny (n_centroids x dim) — they travel as plan
+    literals, exactly like the LSH hyperplanes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sample = df
+    if sample_mod > 1:
+        sample = df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    seed_rows = (sample.select(id_col, vec_col)
+                 .orderBy(id_col).limit(n_centroids).collect())
+    cents = [[round(float(x), 6) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = sample.withColumn("_cid", _ivf_cid_expr(cents, vec_col))
+        means = (assigned.groupBy("_cid")
+                 .agg(*[F.round(F.avg(F.col(vec_col)[i].cast("double")), 6)
+                        .alias(f"c{i}") for i in range(dim)])
+                 .collect())
+        by_cid = {int(r["_cid"]): [float(r[f"c{i}"]) for i in range(dim)]
+                  for r in means}
+        cents = [by_cid.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds ``cid`` — the row's inverted-list id. Map-only (plan-
+    literal centroids); at write time PARTITION the index table BY
+    ``cid`` so a probe scan file-skips every unprobed list."""
+    return df.withColumn("cid", _ivf_cid_expr(centroids, vec_col))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_mod: int = 1,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k (the Faiss-style alternative to
+    :func:`ann_topk_lsh`): coarse-quantize, probe only the ``nprobe``
+    inverted lists whose centroids score highest against the query,
+    exact cosine + top-k within the probed lists.
+
+    The probe set is computed driver-side from the (tiny) centroid
+    table and lands in the plan as a literal ``cid IN (...)`` — with a
+    ``cid``-partitioned index table the pruning happens at the parquet
+    file level, before any dot product. Recall is governed by
+    ``nprobe`` (tested, not assumed)."""
+    if centroids is None:
+        centroids = ivf_train(df, n_centroids=n_centroids, iters=iters,
+                              vec_col=vec_col, id_col=id_col,
+                              dim=len(query_vec), sample_mod=sample_mod)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    scores = [float(np.dot(qv, np.asarray(c, dtype=np.float64)))
+              for c in centroids]
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: (-scores[i], i))[:nprobe]
+    cand = ivf_assign(df, centroids, vec_col).filter(F.col("cid").isin(probe))
+    return (
+        cosine_scores(cand, query_vec, vec_col)
+        .select(id_col, "cid", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
