@@ -121,3 +121,13 @@ class CrawlConfig:
     # broadcast-filtered scan wins outright (AQE spirit). Tests force 0
     # to exercise the pruned path; production leaves the default.
     prune_min_bytes: int = 64 << 20
+    # Small-round latency mode: when a round's popped-row bound is at
+    # or below this, its barrier actions compile WITHOUT AQE so the
+    # ~12-exchange selection pipeline and the staged writes each run
+    # as ONE pipelined job instead of submitting every exchange as its
+    # own query stage (~0.3-0.5 s of scheduling apiece — measured 6 s
+    # of a 2k-URL round's 15 s wall at the frontier10m harness,
+    # scripts/profile_frontier_actions.py). Data-bound waves above the
+    # bound keep AQE (runtime coalescing + skew splitting matter
+    # there); compaction always runs under AQE. 0 disables.
+    latency_round_rows: int = 100_000

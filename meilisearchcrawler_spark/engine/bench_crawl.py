@@ -109,7 +109,18 @@ def crawl_throughput(spark: SparkSession, n_sites: int = 8,
     eng = CrawlEngine(spark, root, paths["pages"], fx.seeds, fx.robots, cfg,
                       initial_url_seen=fx.url_seen)
     t0 = time.perf_counter()
-    rounds = eng.run(max_rounds=1000)
+    # drive rounds individually so the N→4N harness can report the
+    # per-round decomposition (the wave round vs the fixed-cost-bound
+    # sub-wave rounds) without re-running the crawl
+    round_secs: list[float] = []
+    rounds = 0
+    while rounds < 1000 and any(s.active for s in eng.sites.values()):
+        r0 = time.perf_counter()
+        progressed = eng.run_round()
+        round_secs.append(round(time.perf_counter() - r0, 2))
+        rounds += 1
+        if not progressed:
+            break
     sec = time.perf_counter() - t0
     metrics = eng.catalog.read("metrics")
     counts = {r["action"]: r["n"] for r in
@@ -121,6 +132,7 @@ def crawl_throughput(spark: SparkSession, n_sites: int = 8,
     return {
         "sec": sec,
         "rounds": rounds,
+        "round_secs": round_secs,
         "pages_fetched": fetched,
         "pages_indexed": indexed,
         "pages_per_sec": round(fetched / sec, 2) if sec > 0 else None,

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -697,12 +698,13 @@ class CrawlEngine:
             self._bloom_table = self._bloom_latest()
         self._round_tmp: list[DataFrame] = []
         try:
-            popped = self._select_pops(budgets)
-            if popped is None:
-                for name in active_sites:
-                    self.sites[name].active = False
-                return False
-            return self._execute_round(popped, now)
+            with self._latency_mode():
+                popped = self._select_pops(budgets)
+                if popped is None:
+                    for name in active_sites:
+                        self.sites[name].active = False
+                    return False
+                progressed = self._execute_round(popped, now)
         finally:
             for df in self._round_tmp:
                 df.unpersist()
@@ -711,6 +713,48 @@ class CrawlEngine:
                 self._bloom_bc.destroy()
             self._bloom_bc = None
             self._bloom_table = None
+        # compaction is corpus-sized — always compiled under AQE,
+        # outside the latency scope (round frames are already released)
+        if self.cfg.compact_every and self.round_no % self.cfg.compact_every == 0:
+            self._compact()
+        return progressed
+
+    @contextmanager
+    def _latency_mode(self):
+        """Latency-bound small rounds compile their barrier actions
+        without AQE. The round's selection pipeline is ~12 exchanges
+        deep (two-phase top-K windows, the Bloom cogroup, admission
+        joins); under AQE every exchange is submitted as its own query
+        stage — ~0.3-0.5 s of scheduling latency apiece, ~6 s of a
+        2k-URL round's 15 s wall at the frontier10m harness (profiled:
+        scripts/profile_frontier_actions.py). A static plan pipelines
+        them into one job per action. Rounds whose popped-row bound
+        exceeds ``latency_round_rows`` are data-bound — they keep AQE
+        (runtime coalescing + skew splitting outweigh submission
+        latency), as does compaction (corpus-sized, always outside
+        this scope). Shuffle width drops to ≤8: a latency round's
+        frames hold at most ~10^5 rows, and 8 wide static exchanges
+        beat 32 near-empty tasks per stage."""
+        thr = self.cfg.latency_round_rows
+        if not thr or self._pop_bound > thr:
+            yield
+            return
+        conf = self.spark.conf
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        old_sp = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        # static width sized to the bound: micro-rounds (equivalence
+        # tests, drain tails) run every exchange as ONE task — AQE's
+        # coalesce-to-1 without the per-stage submission latency;
+        # 10^4-10^5-row rounds get 8-wide exchanges
+        width = 1 if self._pop_bound <= 4_000 else 8
+        conf.set("spark.sql.shuffle.partitions",
+                 str(min(int(old_sp), width)))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_sp)
 
     def _bc(self, df: DataFrame, est_rows: int | None) -> DataFrame:
         """Broadcast hint with a size guard (round-4 advisor item): the
@@ -795,7 +839,10 @@ class CrawlEngine:
             hit = (maybe.join(self._bc(present, bound),
                               ["site", "url"], "left_semi")
                    .select("site", "counter").withColumn("f_visited", F.lit(True)))
-            cand = cand.join(hit, ["site", "counter"], "left") \
+            # hit is bounded by the prefix — hint it so the static
+            # (latency-mode) compile broadcasts instead of SMJ-ing
+            cand = cand.join(self._bc(hit, bound), ["site", "counter"],
+                             "left") \
                        .withColumn("f_visited", F.coalesce("f_visited", F.lit(False)))
         else:
             cand = cand.withColumn("f_visited", F.lit(False))
@@ -947,15 +994,26 @@ class CrawlEngine:
         # writes only read cache — wall time ≈ max, not sum (the main
         # driver of small-round orchestration cost)
         pending: list[tuple[str, DataFrame]] = []
+        pre_staged: dict[str, list[str]] = {}
 
         def stage(table: str, df: DataFrame):
             pending.append((table, df))
 
+        def stage_rows(table: str, rows: list[dict], schema) -> None:
+            # driver-resident rows: direct pyarrow write, no Spark job
+            pre_staged.setdefault(table, []).append(
+                self.catalog.stage_rows(table, rows, schema, rno))
+
         def _flush_stages() -> dict[str, list[str]]:
             from concurrent.futures import ThreadPoolExecutor
 
-            staged: dict[str, list[str]] = {}
-            with ThreadPoolExecutor(max_workers=min(len(pending), 8)) as ex:
+            staged: dict[str, list[str]] = {k: list(v)
+                                            for k, v in pre_staged.items()}
+            # one thread per staged table: each write is a small job
+            # over cached parents, so the flush wall is the slowest
+            # write, not the sum (pool-summed ~5 s/round at the
+            # frontier10m harness with the old 8-thread cap)
+            with ThreadPoolExecutor(max_workers=max(len(pending), 1)) as ex:
                 futures = [(t, ex.submit(self.catalog.stage, t, df, rno))
                            for t, df in pending]
                 for t, fut in futures:
@@ -981,11 +1039,14 @@ class CrawlEngine:
         # full-log window per round.
         seen_cond = self._seen_for(admitted.select("url"))
         if seen_cond is not None:
+            # bounded by the round's admitted keys — hint for the
+            # static (latency-mode) compile
             admitted = admitted.join(
-                seen_cond.select(F.col("url"),
-                                 F.col("etag").alias("cached_etag"),
-                                 F.col("last_modified")
-                                 .alias("cached_last_modified")),
+                self._bc(seen_cond.select(
+                    F.col("url"),
+                    F.col("etag").alias("cached_etag"),
+                    F.col("last_modified").alias("cached_last_modified")),
+                    self._pop_bound),
                 "url", "left")
         else:
             admitted = (admitted
@@ -1010,9 +1071,11 @@ class CrawlEngine:
         seen_final = self._seen_for(ok.select("final_url"), "final_url")
         if seen_final is not None:
             ok = ok.join(
-                seen_final.select(F.col("url").alias("final_url"),
-                                  F.col("content_hash").alias("seen_hash"),
-                                  F.col("last_crawl").alias("seen_last_crawl")),
+                self._bc(seen_final.select(
+                    F.col("url").alias("final_url"),
+                    F.col("content_hash").alias("seen_hash"),
+                    F.col("last_crawl").alias("seen_last_crawl")),
+                    self._pop_bound),
                 "final_url", "left")
         else:
             ok = ok.withColumn("seen_hash", F.lit(None).cast("string")) \
@@ -1081,9 +1144,10 @@ class CrawlEngine:
             & F.col("last_modified").isNotNull()
             & (F.col("_stored_lm") == F.col("last_modified")))
         intra304 = (
-            ok.join(first_indexed
-                    .select("site", F.col("final_url").alias("url"),
-                            "_first_pos", "_stored_etag", "_stored_lm"),
+            ok.join(self._bc(first_indexed
+                             .select("site", F.col("final_url").alias("url"),
+                                     "_first_pos", "_stored_etag",
+                                     "_stored_lm"), self._pop_bound),
                     ["site", "url"])
             .filter((F.col("_first_pos") < F.col("pos_in_round"))
                     & validators_match)
@@ -1095,7 +1159,8 @@ class CrawlEngine:
                 "site", "pos_in_round").withColumn("_is304", F.lit(True)),
                 self._pop_bound),
                 ["site", "pos_in_round"], "left")
-            .join(first_indexed, ["site", "final_url"], "left")
+            .join(self._bc(first_indexed, self._pop_bound),
+                  ["site", "final_url"], "left")
             .withColumn("f_cache_skip_final",
                         F.col("f_cache_skip")
                         | (F.col("_first_pos").isNotNull()
@@ -1151,7 +1216,8 @@ class CrawlEngine:
         # ---- link discovery + frontier push (crawler.py:1203-1208) ----
         links = (
             fetched.filter((F.col("fetch_status") == 200) & F.col("links").isNotNull())
-            .join(intra304.select("site", "pos_in_round"),
+            .join(self._bc(intra304.select("site", "pos_in_round"),
+                           self._pop_bound),
                   ["site", "pos_in_round"], "left_anti")
             .select("site", "pos_in_round",
                     (F.col("depth") + 1).alias("link_depth"),
@@ -1261,11 +1327,15 @@ class CrawlEngine:
             if delta_rows:
                 for r in delta_rows:
                     self._bloom.or_delta(r["pid"], r["bits"])
-                stage("bloom_parts", self.spark.createDataFrame(
-                    [(int(r["pid"]),
-                      bytearray(self._bloom.parts[int(r["pid"])].tobytes()),
-                      rno) for r in delta_rows],
-                    schema="pid int, bits binary, round int"))
+                import pyarrow as pa
+
+                stage_rows(
+                    "bloom_parts",
+                    [{"pid": int(r["pid"]),
+                      "bits": self._bloom.parts[int(r["pid"])].tobytes(),
+                      "round": rno} for r in delta_rows],
+                    pa.schema([("pid", pa.int32()), ("bits", pa.binary()),
+                               ("round", pa.int32())]))
         else:
             # table mode: merge executor-side (broadcast join on the
             # ≤P-row parts view); no bitmap ever reaches the driver
@@ -1295,9 +1365,18 @@ class CrawlEngine:
             stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
             metrics_rows = metrics.collect()
 
-        stage("metrics", self.spark.createDataFrame(
-            metrics_rows, schema="site string, action string, count long, round int")
-            if metrics_rows else metrics)
+        if metrics_rows:
+            import pyarrow as pa
+
+            stage_rows(
+                "metrics",
+                [{"site": r["site"], "action": r["action"],
+                  "count": int(r["count"]), "round": rno}
+                 for r in metrics_rows],
+                pa.schema([("site", pa.string()), ("action", pa.string()),
+                           ("count", pa.int64()), ("round", pa.int32())]))
+        else:
+            stage("metrics", metrics)
 
         # ---- driver state ----
         per_site_fetch = {}
@@ -1325,8 +1404,6 @@ class CrawlEngine:
         adds.unpersist()
         if cfg.max_queue_size is not None:
             new_links.unpersist()
-        if self.cfg.compact_every and self.round_no % self.cfg.compact_every == 0:
-            self._compact()
         return any_pop
 
     def _bucket_layout(self, df: DataFrame, order_key: str) -> DataFrame:
@@ -1418,10 +1495,11 @@ class CrawlEngine:
         # excluded+extension pops never enter visited (reference
         # precedence, crawler.py:1163-1173) so links to them re-push
         links = links.join(
-            popped.filter(F.col("admissible")
-                          | (F.col("f_ext") & ~F.col("f_visited")
-                             & ~F.col("f_excluded")))
-            .select("site", F.col("url").alias("link_url")),
+            self._bc(popped.filter(F.col("admissible")
+                                   | (F.col("f_ext") & ~F.col("f_visited")
+                                      & ~F.col("f_excluded")))
+                     .select("site", F.col("url").alias("link_url")),
+                     getattr(self, "_pop_bound", None)),
             ["site", "link_url"], "left_anti")
         # vs historical visited (Bloom prefilter → exact membership):
         # the exact check scans visited bucket-pruned with the maybe-set

@@ -44,9 +44,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEVELS = [8, 32]
 REPEAT = int(os.environ.get("SPARK_GRAFT_MEGA_REPEAT", "3"))
-MEGA = dict(n_sites=8, pages_per_site=80_000, seed=321, fanout=(45, 60))
+# SPARK_GRAFT_MEGA10=1 → the 10^6-URL wave the crawler module header
+# targets (round-4 verdict #8: the <10% fixed-cost and wave-efficiency
+# claims were extrapolated from the 283k wave; measure them).
+# 8 sites × 160k pages, fanout (45,60): the depth-3 wave admits ~1.2M
+# candidate links against ~1.25M remaining pages → a ~10^6-URL round.
+MEGA10 = os.environ.get("SPARK_GRAFT_MEGA10") == "1"
+if MEGA10:
+    MEGA = dict(n_sites=8, pages_per_site=160_000, seed=321, fanout=(45, 60))
+    BUDGET = 1_500_000
+else:
+    MEGA = dict(n_sites=8, pages_per_site=80_000, seed=321, fanout=(45, 60))
+    BUDGET = 1_000_000
 FIXTURE_KEYS = ("n_sites", "pages_per_site", "seed", "fanout")
-BUDGET = 1_000_000
 
 
 def _session(cores: int):
@@ -87,7 +97,8 @@ def worker(cores: int) -> None:
     print(json.dumps({
         "cores": cores, "fetch_stage": f["urls_per_sec"],
         "full_crawl": c["pages_per_sec"], "crawl_sec": round(c["sec"], 1),
-        "wave_urls": c["pages_fetched"], "rounds": c["rounds"]}))
+        "wave_urls": c["pages_fetched"], "rounds": c["rounds"],
+        "round_secs": c.get("round_secs", [])}))
 
 
 def _mp_work(args):
@@ -149,12 +160,14 @@ def main() -> None:
     runs: dict[int, dict[str, list[float]]] = {
         c: {"fetch_stage": [], "full_crawl": [], "crawl_sec": [],
             "wave_urls": []} for c in LEVELS}
+    round_secs: dict[int, list[list[float]]] = {c: [] for c in LEVELS}
     for rep in range(REPEAT):
         for cores in LEVELS:
             r = _pinned(cores, "--worker")
             for k in ("fetch_stage", "full_crawl", "crawl_sec",
                       "wave_urls"):
                 runs[cores][k].append(r[k])
+            round_secs[cores].append(r.get("round_secs", []))
             print(f"# rep {rep} pinned[{cores}]: {r}", file=sys.stderr,
                   flush=True)
     kern = {c: _pinned(c, "--kernel")["kernel_mp"] for c in LEVELS}
@@ -168,10 +181,12 @@ def main() -> None:
         return round((med[32][key] / med[8][key]) / 4, 3)
 
     out = {
-        "metric": "mega_round_scaling_8_to_32",
+        "metric": ("mega10_round_scaling_8_to_32" if MEGA10
+                   else "mega_round_scaling_8_to_32"),
         "protocol": f"cpu_pinned_interleaved_warm_median_of_{REPEAT}",
-        "pages": 640_000,
+        "pages": MEGA["n_sites"] * MEGA["pages_per_site"],
         "round_budget": BUDGET,
+        "round_secs": {str(c): round_secs[c] for c in LEVELS},
         "full_crawl_eff": eff("full_crawl"),
         "fetch_stage_eff": eff("fetch_stage"),
         "kernel_mp_eff": eff("kernel_mp"),
