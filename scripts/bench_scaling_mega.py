@@ -47,11 +47,16 @@ REPEAT = int(os.environ.get("SPARK_GRAFT_MEGA_REPEAT", "3"))
 # SPARK_GRAFT_MEGA10=1 → the 10^6-URL wave the crawler module header
 # targets (round-4 verdict #8: the <10% fixed-cost and wave-efficiency
 # claims were extrapolated from the 283k wave; measure them).
-# 8 sites × 160k pages, fanout (45,60): the depth-3 wave admits ~1.2M
-# candidate links against ~1.25M remaining pages → a ~10^6-URL round.
+# The depth-3 wave's unique-page count per site saturates at
+# pool×(1-e^(-draws/pool)) ≈ 53k for a 160k pool under fanout (45,60)
+# — measured 458,424 total fetches at 8 sites — so the wave scales
+# with SITE count: SPARK_GRAFT_MEGA10_SITES=16 (default) ≈ a 0.9×10^6
+# wave; =8 is the half-scale point recorded alongside it.
 MEGA10 = os.environ.get("SPARK_GRAFT_MEGA10") == "1"
 if MEGA10:
-    MEGA = dict(n_sites=8, pages_per_site=160_000, seed=321, fanout=(45, 60))
+    MEGA = dict(n_sites=int(os.environ.get("SPARK_GRAFT_MEGA10_SITES",
+                                           "16")),
+                pages_per_site=160_000, seed=321, fanout=(45, 60))
     BUDGET = 1_500_000
 else:
     MEGA = dict(n_sites=8, pages_per_site=80_000, seed=321, fanout=(45, 60))
