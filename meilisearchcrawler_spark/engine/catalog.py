@@ -130,6 +130,40 @@ class CheckpointCatalog:
 
         return _read(comp), _read(rest)
 
+    def read_since(self, table: str, floor_round: int,
+                   include_compacted: bool = True) -> DataFrame | None:
+        """Read only the delta dirs of ``table`` staged for rounds
+        AFTER ``floor_round``. The round number rides in every delta
+        dir name (``r{round:06d}_…``), so the pruning happens on the
+        manifest's file list, driver-side, before any parquet footer
+        is opened — the Iceberg snapshot-range (incremental-read)
+        analog. Compacted snapshots carry no round tag; by default they
+        are included (callers reading monotonic never-compacted logs
+        get a safe superset even if one appears), pass
+        ``include_compacted=False`` when a compacted snapshot is NOT a
+        valid delta source (e.g. latest-wins folds that drop history
+        rows)."""
+        rels = self.manifest["tables"].get(table)
+        if not rels:
+            return None
+        keep = []
+        for r in rels:
+            base = os.path.basename(r)
+            if base.startswith("compact_"):
+                if not include_compacted:
+                    continue
+            elif base.startswith("r"):
+                try:
+                    if int(base[1:base.index("_")]) <= floor_round:
+                        continue
+                except ValueError:
+                    pass
+            keep.append(r)
+        if not keep:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, r) for r in keep])
+
     @property
     def meta(self) -> dict:
         """Small catalog-level metadata committed atomically with table

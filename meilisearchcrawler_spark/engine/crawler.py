@@ -495,11 +495,93 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ views
 
+    def _pops_view(self) -> DataFrame | None:
+        """``(site, counter)`` of every pop not yet folded into the
+        compacted frontier snapshot — DERIVED from ``crawl_log``, whose
+        rows ARE the pops (round-5 write-merge: the dedicated
+        ``frontier_pops`` table duplicated three of crawl_log's columns
+        and cost one staged write job per round). The floor is the
+        round of the last frontier compaction, committed atomically
+        with the snapshot (``meta['pops_floor']``); delta dirs at or
+        below it are pruned driver-side from the manifest list, so this
+        reads exactly the files the dedicated table would have held.
+        Per-site counters are never reused, so a superset of pop keys
+        (e.g. resuming a pre-merge checkpoint with no floor recorded)
+        only anti-joins away rows that are already gone — always
+        safe."""
+        floor = self.catalog.meta.get("pops_floor", -1)
+        log = self.catalog.read_since("crawl_log", floor)
+        if log is None:
+            return None
+        return log.select("site", "counter")
+
+    def _visited_view(self) -> DataFrame | None:
+        """Visited membership = compacted snapshot + deltas DERIVED
+        from ``crawl_log``: the log's when-chain makes actions
+        ``admitted``/``ext_skipped`` exactly the ``marks_visited``
+        predicate the dedicated per-round visited delta used to stage
+        (admitted ⇔ admissible; ext_skipped ⇔ f_ext ∧ ¬f_visited ∧
+        ¬f_excluded — reference pop-time precedence crawler.py:
+        1163-1173), and ``bucket_col(url)`` ≡ the staged
+        ``pmod(url_hash, nb)`` (both xxhash64). One fewer staged write
+        per round; legacy checkpoints with r*-deltas still in the
+        visited table read as duplicates, which every consumer
+        (semi/anti membership, min-round compaction) is insensitive
+        to."""
+        comp = self.catalog.read("visited")
+        floor = self.catalog.meta.get("visited_floor", -1)
+        log = self.catalog.read_since("crawl_log", floor)
+        nb = self.cfg.seen_buckets
+        derived = None
+        if log is not None:
+            derived = (log.filter(F.col("round") > F.lit(floor))
+                       .filter(F.col("action")
+                               .isin("admitted", "ext_skipped"))
+                       .select("site", "url", "round",
+                               bucket_col(F.col("url"), nb)
+                               .alias("bucket")))
+        if comp is None:
+            return derived
+        return comp if derived is None else comp.unionByName(derived)
+
+    def _content_hashes_view(self) -> DataFrame | None:
+        """Indexed-content-hash membership (F10 history) = compacted
+        snapshot + deltas DERIVED from ``url_seen_log``'s post-floor
+        delta dirs — both tables staged projections of the same
+        ``indexed`` frame, so the derived rows are byte-identical to
+        what the dedicated write produced. ``include_compacted=False``:
+        url_seen's latest-wins snapshot is NOT a valid hash-history
+        source (a re-indexed URL's older hash leaves it) — only the
+        append deltas are, and :meth:`_compact` folds content_hashes
+        BEFORE url_seen so a delta dir newer than the floor is never
+        destroyed at any crash point."""
+        comp = self.catalog.read("content_hashes")
+        floor = self.catalog.meta.get("content_hashes_floor", -1)
+        log = self.catalog.read_since("url_seen_log", floor,
+                                      include_compacted=False)
+        nb = self.cfg.seen_buckets
+        derived = None
+        if log is not None:
+            # the ROW-level round filter is the correctness boundary
+            # (manifest-name pruning is just the IO fast path): it
+            # keeps exactly the post-floor rounds AND excludes the
+            # round=-1 initial-cache import — seeded url_seen rows are
+            # prior CACHE state, not content indexed by this crawl,
+            # and the reference's duplicate-content window only spans
+            # the latter (crawler.py:441-447 seeding; F10)
+            derived = (log.filter(F.col("round") > F.lit(floor))
+                       .select("site", "content_hash", "round",
+                               bucket_col(F.col("content_hash"), nb)
+                               .alias("bucket")))
+        if comp is None:
+            return derived
+        return comp if derived is None else comp.unionByName(derived)
+
     def _live_frontier(self) -> DataFrame | None:
         adds = self.catalog.read("frontier_adds")
         if adds is None:
             return None
-        pops = self.catalog.read("frontier_pops")
+        pops = self._pops_view()
         if pops is not None:
             adds = adds.join(pops, ["site", "counter"], "left_anti")
         return adds
@@ -534,7 +616,7 @@ class CrawlEngine:
         adds = parts[0]
         for p in parts[1:]:
             adds = adds.unionByName(p)
-        pops = self.catalog.read("frontier_pops")
+        pops = self._pops_view()
         if pops is not None:
             adds = adds.join(pops, ["site", "counter"], "left_anti")
         return adds.filter(F.col("site").isin(list(budgets)))
@@ -571,7 +653,11 @@ class CrawlEngine:
         small driver job that only pays once ``table`` is big enough
         for file-skipping to matter — below ``prune_min_bytes`` the
         broadcast-filtered scan wins outright (AQE spirit; file sizes
-        come from the catalog manifest, no Spark job)."""
+        come from the catalog manifest, no Spark job). For the derived
+        visited/content_hashes views the bytes count only the compacted
+        snapshot (deltas ride in crawl_log/url_seen_log) — a slight
+        undercount that at most delays the first prune by one
+        compaction cycle; past it the snapshot dominates."""
         if self.catalog.table_bytes(table) < self.cfg.prune_min_bytes:
             return big
         return self._prune_buckets(big, keys, key_col)
@@ -625,6 +711,13 @@ class CrawlEngine:
                 .withColumn("last_crawled_at",
                             F.greatest("last_crawled_at", "_refresh_at"))
                 .drop("_refresh_at"))
+
+    def visited(self) -> DataFrame | None:
+        """Public visited-set view (site, url, round, bucket); may
+        contain per-round duplicates between compactions — consumers
+        needing exact rows should ``groupBy(site, url).agg(min(round))``
+        as compaction does."""
+        return self._visited_view()
 
     def url_seen(self) -> DataFrame | None:
         latest = self._url_seen_latest()
@@ -826,7 +919,7 @@ class CrawlEngine:
         # is never shuffled or distinct'd — semi-join membership is
         # duplicate-insensitive, so distinct-by-construction-at-
         # compaction suffices (round-2 verdict scale blocker #2).
-        visited = self.catalog.read("visited")
+        visited = self._visited_view()
         cand = cand.withColumn("url_hash", url_hash_col(F.col("url")))
         if visited is not None:
             probed = self._persist_tmp(self._bloom_split(
@@ -1091,7 +1184,7 @@ class CrawlEngine:
             & ((F.lit(now) - F.col("seen_last_crawl")) < cfg.cache_days * 86400))
         ok = ok.withColumn("f_cache_skip", cache_skip)
 
-        hashes_seen = self.catalog.read("content_hashes")
+        hashes_seen = self._content_hashes_view()
         candidates = ok.filter(
             (F.col("no_index") == 0) & ~F.col("f_cache_skip")
             & (F.length("content") >= MIN_CONTENT_LEN))
@@ -1177,11 +1270,11 @@ class CrawlEngine:
             "content_hash", F.lit(rno).alias("round"))
         stage("documents", docs)
         nb = self.cfg.seen_buckets
-        stage("content_hashes",
-              indexed.select("site", "content_hash",
-                             F.lit(rno).alias("round"),
-                             bucket_col(F.col("content_hash"), nb)
-                             .alias("bucket")))
+        # no content_hashes delta: the url_seen_log delta below is a
+        # projection of the SAME ``indexed`` frame, and
+        # _content_hashes_view derives (site, content_hash, round,
+        # bucket) back from its post-floor delta dirs — one fewer
+        # staged write job per round (round-5 write-merge)
         stage("url_seen_log", indexed.select(
             F.col("final_url").alias("url"), "content_hash", "doc_id",
             F.lit(now).alias("last_crawl"), "etag", "last_modified",
@@ -1208,10 +1301,10 @@ class CrawlEngine:
             popped.filter(marks_visited)
             .select("site", "url", "url_hash")
             .withColumn("round", F.lit(rno)))
-        stage("visited", new_visited.select(
-            "site", "url", "round",
-            F.pmod(F.col("url_hash"), F.lit(nb)).cast("int")
-            .alias("bucket")))
+        # no visited delta: crawl_log actions admitted/ext_skipped ARE
+        # marks_visited, and _visited_view derives these rows back from
+        # its post-floor delta dirs (round-5 write-merge); new_visited
+        # still feeds the Bloom delta below
 
         # ---- link discovery + frontier push (crawler.py:1203-1208) ----
         links = (
@@ -1243,8 +1336,10 @@ class CrawlEngine:
             adds = self._apply_queue_cap(adds, new_links, popped)
         adds = adds.persist()
         stage("frontier_adds", adds)
-        stage("frontier_pops",
-              popped.select("site", "counter").withColumn("round", F.lit(rno)))
+        # no frontier_pops delta: crawl_log (staged above) carries
+        # site/counter/round for every popped row, and _pops_view reads
+        # it back with manifest-level round pruning — one fewer staged
+        # write job per round for byte-identical anti-join semantics
 
         # ---- metrics + lineage (A2/A3; status.json analog S9) ----
         action = (
@@ -1452,30 +1547,44 @@ class CrawlEngine:
                 "frontier_adds",
                 live.repartitionByRange(n, "depth", "counter")
                     .sortWithinPartitions("depth", "counter"),
-                meta={"frontier_hist": hist},
+                meta={"frontier_hist": hist,
+                      # every pop ≤ this round is folded into the
+                      # snapshot above; the floor commits ATOMICALLY
+                      # with it, so the derived pops view can never
+                      # miss a pop at any crash point (the pre-merge
+                      # design had a stale window between the adds
+                      # compact and the separate pops truncate —
+                      # harmless, but this is strictly tighter)
+                      "pops_floor": self.catalog.committed_round},
                 state=self._state_dict())
-            pops = self.catalog.read("frontier_pops")
-            if pops is not None:
-                self.catalog.compact("frontier_pops", pops.limit(0))
             live.unpersist()
-        seen = self._url_seen_latest()
-        if seen is not None:
-            self.catalog.compact("url_seen_log",
-                                 self._bucket_layout(seen, "url"))
-        visited = self.catalog.read("visited")
-        if visited is not None:
-            self.catalog.compact(
-                "visited",
-                self._bucket_layout(
-                    visited.groupBy("site", "url", "bucket")
-                    .agg(F.min("round").alias("round")), "url"))
-        hashes = self.catalog.read("content_hashes")
+        # content_hashes folds BEFORE url_seen_log: its view derives
+        # deltas from url_seen's r*-dirs, so the floor must advance
+        # (atomically, in the compact commit) while those dirs still
+        # exist — after this, url_seen may destroy them freely. A crash
+        # between the two leaves url_seen's stale deltas in place
+        # (latest-wins reads are insensitive) and the hash snapshot
+        # complete.
+        hashes = self._content_hashes_view()
         if hashes is not None:
             self.catalog.compact(
                 "content_hashes",
                 self._bucket_layout(
                     hashes.groupBy("site", "content_hash", "bucket")
-                    .agg(F.min("round").alias("round")), "content_hash"))
+                    .agg(F.min("round").alias("round")), "content_hash"),
+                meta={"content_hashes_floor": self.catalog.committed_round})
+        seen = self._url_seen_latest()
+        if seen is not None:
+            self.catalog.compact("url_seen_log",
+                                 self._bucket_layout(seen, "url"))
+        visited = self._visited_view()
+        if visited is not None:
+            self.catalog.compact(
+                "visited",
+                self._bucket_layout(
+                    visited.groupBy("site", "url", "bucket")
+                    .agg(F.min("round").alias("round")), "url"),
+                meta={"visited_floor": self.catalog.committed_round})
         bloom = self._bloom_latest()
         if bloom is not None:
             self.catalog.compact("bloom_parts", bloom)
@@ -1505,7 +1614,7 @@ class CrawlEngine:
         # the exact check scans visited bucket-pruned with the maybe-set
         # as the broadcast build side — the corpus-sized table is never
         # shuffled or distinct'd (F2 scale fix, round-2 verdict #2)
-        visited = self.catalog.read("visited")
+        visited = self._visited_view()
         n_links: int | None = None
         if visited is not None:
             links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
@@ -1553,7 +1662,7 @@ class CrawlEngine:
                 cand = cand.unionByName(p.select("site", "url", "counter"))
             still_queued = cand.join(self._bc(link_keys, n_links),
                                      ["site", "url"], "left_semi")
-            pops = self.catalog.read("frontier_pops")
+            pops = self._pops_view()
             if pops is not None:
                 still_queued = still_queued.join(
                     pops, ["site", "counter"], "left_anti")

@@ -40,7 +40,7 @@ def _assert_equivalent(eng: CrawlEngine, oracle_by_site: dict, *,
     if docs_df is not None:
         for r in docs_df.collect():
             e_docs_all.setdefault(r["site"], {})[r["id"]] = r
-    visited_df = eng.catalog.read("visited")
+    visited_df = eng.visited()
     e_visited_all: dict[str, set] = {}
     if visited_df is not None:
         for r in visited_df.collect():
