@@ -1088,9 +1088,27 @@ class CrawlEngine:
         # driver of small-round orchestration cost)
         pending: list[tuple[str, DataFrame]] = []
         pre_staged: dict[str, list[str]] = {}
+        # eager mode: each staged write is submitted the moment it is
+        # declared — its job overlaps the round's remaining barrier
+        # actions (bucket-prune collect, link count, metrics rollup)
+        # and the barrier flush only joins futures. Concurrent
+        # first-materialization of a shared persisted/localCheckpoint
+        # parent is BlockManager-locked (the barrier already overlaps
+        # the metrics and Bloom collects the same way).
+        eager_pool = None
+        eager_futs: list[tuple[str, object]] = []
+        if cfg.eager_stage:
+            from concurrent.futures import ThreadPoolExecutor
+
+            eager_pool = ThreadPoolExecutor(max_workers=16)
 
         def stage(table: str, df: DataFrame):
-            pending.append((table, df))
+            if eager_pool is not None:
+                eager_futs.append(
+                    (table, eager_pool.submit(self.catalog.stage, table,
+                                              df, rno)))
+            else:
+                pending.append((table, df))
 
         def stage_rows(table: str, rows: list[dict], schema) -> None:
             # driver-resident rows: direct pyarrow write, no Spark job
@@ -1102,6 +1120,11 @@ class CrawlEngine:
 
             staged: dict[str, list[str]] = {k: list(v)
                                             for k, v in pre_staged.items()}
+            if eager_pool is not None:
+                for t, fut in eager_futs:
+                    staged.setdefault(t, []).append(fut.result())
+                eager_pool.shutdown()
+                return staged
             # one thread per staged table: each write is a small job
             # over cached parents, so the flush wall is the slowest
             # write, not the sum (pool-summed ~5 s/round at the
