@@ -215,8 +215,31 @@ class CheckpointCatalog:
             df = self.read(table)
         if df is None:
             return
+        self.commit_compact(table, self.prepare_compact(table, df),
+                            meta=meta, state=state)
+
+    def prepare_compact(self, table: str, df: DataFrame) -> str:
+        """WRITE a snapshot dir for ``table`` without publishing it —
+        the dir is an orphan (invisible to every reader, removable by
+        any crash) until :meth:`commit_compact` lands. Splitting the
+        write from the commit lets the maintenance job run the
+        independent table rewrites CONCURRENTLY (the expensive part)
+        while keeping the COMMITS strictly ordered — the
+        crash-ordering invariants (frontier_index before the frontier
+        snapshot; view floors before their source deltas are
+        destroyed) constrain commit order only, never write order,
+        because writes read the pre-compaction manifest and destroy
+        nothing."""
         rel = os.path.join(table, f"compact_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def commit_compact(self, table: str, rel: str,
+                       meta: dict | None = None,
+                       state: dict | None = None) -> None:
+        """Atomically publish a prepared snapshot as ``table``'s sole
+        content (+ optional ``meta``/``state`` in the same manifest
+        write), then drop the superseded delta dirs."""
         old = self.manifest["tables"].get(table, [])
         self.manifest["tables"][table] = [rel]
         if meta:

@@ -369,6 +369,12 @@ _POP_ACTIONS = ("fetched", "not_modified", "not_indexed_content_type",
 # most one ladder step (8x)
 _HIST_RANKS = tuple(64 * 8 ** i for i in range(10))  # 64 … ~8.6e9
 
+# Concurrent snapshot writes per maintenance (compaction) pass — the
+# independent corpus-sized rewrites overlap; bounded to keep peak
+# execution-memory/spill pressure in check (1 = the pre-round-5 serial
+# behavior; scripts/bench_compact_ab.py measures the difference).
+_COMPACT_POOL_WORKERS = 4
+
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, catalog_root: str,
@@ -1544,73 +1550,105 @@ class CrawlEngine:
         adds before clearing pops keeps any crash point consistent.
         This is the ONLY place a corpus-sized window/aggregate runs —
         amortized over ``compact_every`` rounds, exactly like Iceberg's
-        rewrite_data_files maintenance job."""
+        rewrite_data_files maintenance job.
+
+        The snapshot WRITES run concurrently (every rewrite reads the
+        pre-compaction manifest and destroys nothing — prepared dirs
+        are orphans until committed), while the COMMITS stay strictly
+        ordered, because every crash-ordering invariant below
+        constrains publication order only: frontier_index commits
+        before the frontier snapshot (crash between → index is a
+        superset, safe for semi-join membership); content_hashes'
+        floor commits before url_seen_log's commit destroys the delta
+        dirs the hash view derives from. The pool is bounded — at
+        production scale these are corpus-sized shuffles and running
+        all of them at once trades straggler overlap against peak
+        execution-memory/spill pressure."""
+        from concurrent.futures import ThreadPoolExecutor
+
         live = self._live_frontier()
         if live is not None:
             live = live.persist()
-            n = min(self.cfg.seen_buckets, max(self.cfg.shuffle_partitions, 1))
-            # 1) bucket-clustered (site, url, counter) projection for the
-            #    link-dedup membership scan (Iceberg secondary-index
-            #    analog). Written BEFORE the main snapshot: a crash
-            #    between the two leaves the index a SUPERSET of the
-            #    frontier (safe for semi-join membership — extra rows
-            #    are removed by the pops anti-join), never a subset.
-            self.catalog.compact(
-                "frontier_index",
-                self._bucket_layout(
-                    live.select("site", "url", "counter", "bucket"), "url"))
-            # 2) pop-layout snapshot: depth/counter-clustered so the
-            #    histogram cutoff predicate skips files, with the
-            #    histogram + pops_since_compact reset committed in the
-            #    SAME atomic manifest write as the snapshot.
-            hist = frontier_hist(live)
+        n = min(self.cfg.seen_buckets, max(self.cfg.shuffle_partitions, 1))
+        hashes = self._content_hashes_view()
+        seen = self._url_seen_latest()
+        visited = self._visited_view()
+        bloom = self._bloom_latest()
+        futs: dict = {}
+        with ThreadPoolExecutor(max_workers=_COMPACT_POOL_WORKERS) as ex:
+            if live is not None:
+                # bucket-clustered (site, url, counter) projection for
+                # the link-dedup membership scan (Iceberg
+                # secondary-index analog)
+                futs["frontier_index"] = ex.submit(
+                    self.catalog.prepare_compact, "frontier_index",
+                    self._bucket_layout(
+                        live.select("site", "url", "counter", "bucket"),
+                        "url"))
+                # pop-layout snapshot: depth/counter-clustered so the
+                # histogram cutoff predicate skips files
+                futs["frontier_adds"] = ex.submit(
+                    self.catalog.prepare_compact, "frontier_adds",
+                    live.repartitionByRange(n, "depth", "counter")
+                        .sortWithinPartitions("depth", "counter"))
+                futs["hist"] = ex.submit(frontier_hist, live)
+            if hashes is not None:
+                futs["content_hashes"] = ex.submit(
+                    self.catalog.prepare_compact, "content_hashes",
+                    self._bucket_layout(
+                        hashes.groupBy("site", "content_hash", "bucket")
+                        .agg(F.min("round").alias("round")),
+                        "content_hash"))
+            if seen is not None:
+                futs["url_seen_log"] = ex.submit(
+                    self.catalog.prepare_compact, "url_seen_log",
+                    self._bucket_layout(seen, "url"))
+            if visited is not None:
+                futs["visited"] = ex.submit(
+                    self.catalog.prepare_compact, "visited",
+                    self._bucket_layout(
+                        visited.groupBy("site", "url", "bucket")
+                        .agg(F.min("round").alias("round")), "url"))
+            if bloom is not None:
+                futs["bloom_parts"] = ex.submit(
+                    self.catalog.prepare_compact, "bloom_parts", bloom)
+            done = {k: f.result() for k, f in futs.items()}
+        if live is not None:
+            # index publishes BEFORE the snapshot: a crash between the
+            # two leaves the index a SUPERSET of the frontier (extra
+            # rows are removed by the pops anti-join), never a subset
+            self.catalog.commit_compact("frontier_index",
+                                        done["frontier_index"])
             for st in self.sites.values():
                 st.pops_since_compact = 0
-            self.catalog.compact(
-                "frontier_adds",
-                live.repartitionByRange(n, "depth", "counter")
-                    .sortWithinPartitions("depth", "counter"),
-                meta={"frontier_hist": hist,
+            self.catalog.commit_compact(
+                "frontier_adds", done["frontier_adds"],
+                meta={"frontier_hist": done["hist"],
                       # every pop ≤ this round is folded into the
                       # snapshot above; the floor commits ATOMICALLY
                       # with it, so the derived pops view can never
-                      # miss a pop at any crash point (the pre-merge
-                      # design had a stale window between the adds
-                      # compact and the separate pops truncate —
-                      # harmless, but this is strictly tighter)
+                      # miss a pop at any crash point
                       "pops_floor": self.catalog.committed_round},
                 state=self._state_dict())
             live.unpersist()
-        # content_hashes folds BEFORE url_seen_log: its view derives
-        # deltas from url_seen's r*-dirs, so the floor must advance
-        # (atomically, in the compact commit) while those dirs still
-        # exist — after this, url_seen may destroy them freely. A crash
-        # between the two leaves url_seen's stale deltas in place
-        # (latest-wins reads are insensitive) and the hash snapshot
-        # complete.
-        hashes = self._content_hashes_view()
+        # content_hashes publishes BEFORE url_seen_log: its view
+        # derives deltas from url_seen's r*-dirs, so the floor must
+        # advance while those dirs still exist — after this,
+        # url_seen's commit may destroy them freely. A crash between
+        # the two leaves url_seen's stale deltas in place (latest-wins
+        # reads are insensitive) and the hash snapshot complete.
         if hashes is not None:
-            self.catalog.compact(
-                "content_hashes",
-                self._bucket_layout(
-                    hashes.groupBy("site", "content_hash", "bucket")
-                    .agg(F.min("round").alias("round")), "content_hash"),
+            self.catalog.commit_compact(
+                "content_hashes", done["content_hashes"],
                 meta={"content_hashes_floor": self.catalog.committed_round})
-        seen = self._url_seen_latest()
         if seen is not None:
-            self.catalog.compact("url_seen_log",
-                                 self._bucket_layout(seen, "url"))
-        visited = self._visited_view()
+            self.catalog.commit_compact("url_seen_log", done["url_seen_log"])
         if visited is not None:
-            self.catalog.compact(
-                "visited",
-                self._bucket_layout(
-                    visited.groupBy("site", "url", "bucket")
-                    .agg(F.min("round").alias("round")), "url"),
+            self.catalog.commit_compact(
+                "visited", done["visited"],
                 meta={"visited_floor": self.catalog.committed_round})
-        bloom = self._bloom_latest()
         if bloom is not None:
-            self.catalog.compact("bloom_parts", bloom)
+            self.catalog.commit_compact("bloom_parts", done["bloom_parts"])
 
     def _dedup_links(self, links: DataFrame, popped: DataFrame) -> DataFrame:
         """Push-time dedup (crawler.py:1205): drop links already visited
