@@ -75,6 +75,14 @@ def get_spark(master: str | None = None, shuffle_partitions: int = 32,
         # semi-join instead, and a cluster-level override of this knob
         # must not change that.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+        # 16 MB task-thread stacks (JVM-launch option, same caveat as
+        # driver_memory): whole-stage codegen + the parquet reader
+        # recurse deeply, and under load isolated task threads were
+        # observed dying with StackOverflowError at the JVM's default
+        # ~1 MB stack (two tasks of ~55k in one bench session, both in
+        # scan→sort→WindowGroupLimit codegen). Stacks are virtual
+        # memory — the wider default costs nothing.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
