@@ -375,6 +375,13 @@ _HIST_RANKS = tuple(64 * 8 ** i for i in range(10))  # 64 … ~8.6e9
 # behavior; scripts/bench_compact_ab.py measures the difference).
 _COMPACT_POOL_WORKERS = 4
 
+# Latency-mode static width policy: size the width to the selection
+# bound (sites × prefix_k — the largest frame any latency-round
+# exchange carries) rather than the ~64×-smaller pop bound. False =
+# the pre-round-5 pop-bound-only policy (scripts/bench_selwidth_ab.py
+# measures the difference).
+_LATENCY_WIDTH_FROM_SEL_BOUND = True
+
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, catalog_root: str,
@@ -782,6 +789,14 @@ class CrawlEngine:
         # forced-broadcast hints: the cutoff admits ≤ budget admissible
         # rows and < budget inadmissible rows per site
         self._pop_bound = 2 * sum(budgets.values())
+        # row-count bound for the SELECTION pipeline's intermediate
+        # frames (candidate prefix + admission): sites × prefix_k at
+        # the escalation's first iteration. ~64× the pop bound — the
+        # latency-mode static width must be sized to this, not the pop
+        # bound, or a 2k-URL round over many sites funnels a ~10^5-row
+        # prefix through width-1 exchanges (single-threaded top-K
+        # kernel + window).
+        self._sel_bound = len(budgets) * (max(budgets.values()) * 8 + 64)
 
         # broadcast mode: one Bloom broadcast per round, shared by
         # admission and link dedup, released at the round barrier
@@ -842,11 +857,19 @@ class CrawlEngine:
         old_aqe = conf.get("spark.sql.adaptive.enabled")
         old_sp = conf.get("spark.sql.shuffle.partitions")
         conf.set("spark.sql.adaptive.enabled", "false")
-        # static width sized to the bound: micro-rounds (equivalence
-        # tests, drain tails) run every exchange as ONE task — AQE's
-        # coalesce-to-1 without the per-stage submission latency;
-        # 10^4-10^5-row rounds get 8-wide exchanges
-        width = 1 if self._pop_bound <= 4_000 else 8
+        # static width sized to the LARGEST frame any latency-round
+        # exchange carries — the selection bound (sites × prefix_k),
+        # not the pop bound, which is ~64× smaller: micro-rounds
+        # (equivalence tests, drain tails) run every exchange as ONE
+        # task — AQE's coalesce-to-1 without the per-stage submission
+        # latency; rounds whose selection frames reach 10^4-10^6 rows
+        # get 8-wide exchanges (measured at the frontier10m harness:
+        # a 2k-URL round over 16 sites has a ~257k-row prefix bound,
+        # and width 1 serialized the top-K kernel + admission window)
+        bound = self._pop_bound
+        if _LATENCY_WIDTH_FROM_SEL_BOUND:
+            bound = max(bound, getattr(self, "_sel_bound", 0))
+        width = 1 if bound <= 4_000 else 8
         conf.set("spark.sql.shuffle.partitions",
                  str(min(int(old_sp), width)))
         try:
