@@ -122,3 +122,38 @@ class TestDerivedViews:
         pops = {(r["site"], r["counter"])
                 for r in eng._pops_view().collect()}
         assert pops == {("s", 1), ("s", 2), ("s", 3), ("s", 4)}
+
+
+class TestPreparedCompaction:
+    """Round-5 parallel compaction: ``prepare_compact`` only WRITES a
+    snapshot dir (an orphan — invisible to every reader, removable by
+    any crash); ``commit_compact`` atomically publishes it as the
+    table's sole content and drops the superseded delta dirs. The
+    split is what lets the maintenance pass run the independent table
+    rewrites concurrently while keeping commits strictly ordered."""
+
+    def test_prepared_dir_invisible_until_commit(self, spark, tmp_path):
+        import os
+
+        cat = _catalog_with_rounds(spark, tmp_path, [0, 1])
+        folded = cat.read("crawl_log").groupBy("site").count()
+        rel = cat.prepare_compact("crawl_log", folded)
+        # written on disk, but reads and the manifest still see only
+        # the original deltas
+        assert os.path.isdir(os.path.join(cat.root, rel))
+        assert rel not in cat.manifest["tables"]["crawl_log"]
+        assert {r["round"] for r in cat.read("crawl_log").collect()} == {0, 1}
+        # a fresh catalog over the same root (crash-restart shape)
+        # ignores the orphan entirely
+        cat2 = CheckpointCatalog(spark, cat.root)
+        assert rel not in cat2.manifest["tables"]["crawl_log"]
+
+        old_rels = list(cat.manifest["tables"]["crawl_log"])
+        cat.commit_compact("crawl_log", rel, meta={"my_floor": 1})
+        # published as the sole content, old delta dirs gone, meta in
+        # the same manifest write
+        assert cat.manifest["tables"]["crawl_log"] == [rel]
+        assert cat.meta["my_floor"] == 1
+        assert [r["count"] for r in cat.read("crawl_log").collect()] == [2]
+        for old in old_rels:
+            assert not os.path.exists(os.path.join(cat.root, old))
