@@ -661,7 +661,8 @@ class CrawlEngine:
         return big.filter(F.col("bucket").isin(bs))
 
     def _pruned(self, table: str, big: DataFrame, keys: DataFrame,
-                key_col: str) -> DataFrame:
+                key_col: str,
+                bucket_list: list[int] | None = None) -> DataFrame:
         """Adaptive bucket pruning: the bucket-list collect is one
         small driver job that only pays once ``table`` is big enough
         for file-skipping to matter — below ``prune_min_bytes`` the
@@ -670,9 +671,19 @@ class CrawlEngine:
         visited/content_hashes views the bytes count only the compacted
         snapshot (deltas ride in crawl_log/url_seen_log) — a slight
         undercount that at most delays the first prune by one
-        compaction cycle; past it the snapshot dominates."""
+        compaction cycle; past it the snapshot dominates.
+
+        ``bucket_list``: a caller that already holds the keys' exact
+        storage-bucket set (folded into another aggregation job over
+        the same frame — the link-dedup path collects count + bucket
+        sets in ONE action) passes it here and skips the dedicated
+        collect entirely."""
         if self.catalog.table_bytes(table) < self.cfg.prune_min_bytes:
             return big
+        if bucket_list is not None:
+            if not bucket_list:
+                return big.limit(0)
+            return big.filter(F.col("bucket").isin(bucket_list))
         return self._prune_buckets(big, keys, key_col)
 
     def _seen_for(self, keys: DataFrame, key_col: str = "url") -> DataFrame | None:
@@ -1700,18 +1711,32 @@ class CrawlEngine:
         # shuffled or distinct'd (F2 scale fix, round-2 verdict #2)
         visited = self._visited_view()
         n_links: int | None = None
+        all_buckets: list[int] | None = None
+        bexpr = bucket_col(F.col("link_url"), self.cfg.seen_buckets)
         if visited is not None:
             links = links.withColumn("url_hash", url_hash_col(F.col("link_url")))
             probed = self._persist_tmp(self._bloom_split(links))
-            # the actual round link count gates every forced-broadcast
-            # hint below (advisor item: an unguarded hint on a 10^7-link
-            # round would OOM); probed is persisted, so this count also
-            # materializes the frame its consumers read from cache
-            n_links = probed.count()
+            # ONE action returns the round link count (gates every
+            # forced-broadcast hint below — advisor item: an unguarded
+            # hint on a 10^7-link round would OOM) AND the links'
+            # storage-bucket sets for the visited / frontier_index
+            # prunes — folding what used to be up to two extra
+            # bucket-list collect jobs into the count that materializes
+            # the persisted frame anyway. The sets are bounded by
+            # seen_buckets regardless of link count.
+            stats = probed.agg(
+                F.count("*").alias("n"),
+                F.collect_set(bexpr).alias("all_b"),
+                F.collect_set(F.when(F.col("_maybe"), bexpr))
+                .alias("maybe_b")).first()
+            n_links = stats["n"]
+            all_buckets = list(stats["all_b"])
+            maybe_buckets = list(stats["maybe_b"])
             clean = probed.filter(~F.col("_maybe")).drop("_maybe", "url_hash")
             maybe = probed.filter(F.col("_maybe")).drop("_maybe", "url_hash")
             present = self._present_keys(
-                self._pruned("visited", visited, maybe, "link_url")
+                self._pruned("visited", visited, maybe, "link_url",
+                             bucket_list=maybe_buckets)
                 .select("site", F.col("url").alias("link_url")),
                 maybe, ["site", "link_url"], est_rows=n_links)
             maybe = maybe.join(self._bc(present, n_links),
@@ -1736,11 +1761,18 @@ class CrawlEngine:
         if parts:
             links = self._persist_tmp(links)
             if n_links is None:
-                n_links = links.count()
+                # no visited table yet: same one-action fold (count +
+                # bucket set) over the persisted link frame
+                stats = links.agg(
+                    F.count("*").alias("n"),
+                    F.collect_set(bexpr).alias("all_b")).first()
+                n_links = stats["n"]
+                all_buckets = list(stats["all_b"])
             link_keys = links.select(
                 "site", F.col("link_url").alias("url")).distinct()
             if idx is not None:
-                parts[0] = self._pruned(idx_name, idx, link_keys, "url")
+                parts[0] = self._pruned(idx_name, idx, link_keys, "url",
+                                        bucket_list=all_buckets)
             cand = parts[0].select("site", "url", "counter")
             for p in parts[1:]:
                 cand = cand.unionByName(p.select("site", "url", "counter"))
