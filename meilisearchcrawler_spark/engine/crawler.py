@@ -169,7 +169,8 @@ def local_topk(frontier: DataFrame, prefix_k: int) -> DataFrame:
     return frontier.mapInPandas(topk, schema=frontier.schema)
 
 
-def candidate_prefix(frontier: DataFrame, prefix_k: int) -> DataFrame:
+def candidate_prefix(frontier: DataFrame, prefix_k: int,
+                     small: bool = False) -> DataFrame:
     """Tree-reduced per-site top-``prefix_k`` prefix of the frontier in
     heap order (depth desc, counter asc), with ``_rank``.
 
@@ -181,10 +182,19 @@ def candidate_prefix(frontier: DataFrame, prefix_k: int) -> DataFrame:
     large ``prefix_k`` is relative to per-partition row counts (a plain
     two-phase prefix degenerates to a full per-site window sort when
     K ≥ rows/partition/site — exactly the big-budget production case).
-    What remains O(frontier) is one embarrassingly-parallel scan."""
+    What remains O(frontier) is one embarrassingly-parallel scan.
+
+    ``small=True`` (round-6): the caller PROVES the frontier is small
+    (driver-tracked row count under the small-round threshold), so the
+    rank window alone is exact and the two Arrow top-K passes are pure
+    overhead — each is a Python-worker round-trip (~0.2-0.4 s of the
+    small round's wall; guide §4: the JVM↔Python boundary is a per-
+    stage cost). Output is row-identical either way: the two-phase form
+    only pre-prunes the window's input to a per-site top-K superset."""
     w = Window.partitionBy("site").orderBy(F.desc("depth"), F.asc("counter"))
-    return (local_topk(local_topk(frontier, prefix_k)
-                       .repartition("site"), prefix_k)
+    pruned = frontier if small else local_topk(
+        local_topk(frontier, prefix_k).repartition("site"), prefix_k)
+    return (pruned
             .withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") <= prefix_k))
 
@@ -354,6 +364,11 @@ class SiteState:
     # depth histogram when computing the pop-scan depth/counter cutoff
     # (pops are the only operation that removes frontier rows)
     pops_since_compact: int = 0
+    # exact live-frontier row count (seeds + pushed − popped, updated
+    # from the same metrics rollup that feeds pops_since_compact).
+    # None = unknown (checkpoint predating the field) — every consumer
+    # falls back to the budget-only bound (_FRONTIER_SIZE_BOUNDS).
+    frontier_rows: int | None = None
 
 
 # every metrics action that corresponds to exactly one popped frontier
@@ -381,6 +396,34 @@ _COMPACT_POOL_WORKERS = 4
 # the pre-round-5 pop-bound-only policy (scripts/bench_selwidth_ab.py
 # measures the difference).
 _LATENCY_WIDTH_FROM_SEL_BOUND = True
+
+# Round-6: derive the round's row-count bounds from the driver-tracked
+# per-site LIVE-FRONTIER sizes instead of the configured budgets alone.
+# The tracked size is exact (seeds + pushed − popped, both already in
+# the per-round metrics rollup), and every bound it feeds is a true
+# upper bound on the frame it gates:
+#   * pops per site ≤ live frontier rows (can't pop rows that don't
+#     exist) — so the latency-mode gate and the broadcast-hint guards
+#     see the ROUND's real size, not a budget sized for mega-waves
+#     (the bench crawl's budget is 100k/site while its frontier never
+#     exceeds ~20k rows: budget-only bounds kept every round on the
+#     AQE per-stage-submission path and dropped every forced
+#     broadcast hint).
+#   * a site whose live frontier is empty can never pop or push again
+#     (links are same-site), so it retires at round START — the
+#     crawl's final empty round costs zero Spark jobs instead of a
+#     full selection pipeline (~3 s at the bench shape).
+# Sizes resumed from a pre-round-6 checkpoint are unknown (None) and
+# fall back to the budget-only bounds. False = round-5 behavior
+# (scripts/bench_crawl_ab_r06.py measures the difference).
+_FRONTIER_SIZE_BOUNDS = True
+
+# Round-6: skip the Bloom prefilter (a Python-worker stage per call
+# site) while the visited table is under the adaptive-prune floor —
+# the exact membership check subsumes it at identical results (a Bloom
+# probe has no false negatives; ``_maybe=True`` is its no-information
+# answer). False = round-5 behavior (always probe).
+_BLOOM_PROBE_ADAPTIVE = True
 
 
 class CrawlEngine:
@@ -429,6 +472,7 @@ class CrawlEngine:
                                        bits_per_partition=1 << 17)
         self._bloom_bc = None
         self._bloom_table: DataFrame | None = None
+        self._eager_pool = None
         self._initial_url_seen = initial_url_seen or []
         self._restore_or_init()
 
@@ -442,7 +486,8 @@ class CrawlEngine:
             self._load_bloom_from_table()
             return
         self.round_no = 0
-        self.sites = {name: SiteState(url_counter=1) for name in self.seeds}
+        self.sites = {name: SiteState(url_counter=1, frontier_rows=1)
+                      for name in self.seeds}
         from ..functions.urls import normalize_url
 
         rows = [
@@ -502,7 +547,8 @@ class CrawlEngine:
             "sites": {k: {"url_counter": v.url_counter,
                           "pages_visited": v.pages_visited,
                           "active": v.active,
-                          "pops_since_compact": v.pops_since_compact}
+                          "pops_since_compact": v.pops_since_compact,
+                          "frontier_rows": v.frontier_rows}
                       for k, v in self.sites.items()},
         }
 
@@ -590,13 +636,33 @@ class CrawlEngine:
             return derived
         return comp if derived is None else comp.unionByName(derived)
 
+    def _pops_rows_bound(self) -> int | None:
+        """Exact row count of :meth:`_pops_view` (crawl_log rows past
+        the pops floor = pops since the last frontier compaction —
+        the same per-site counters the cutoff correction uses). Gates
+        the broadcast hint on the pops anti-joins: without it the
+        static (latency-mode) compile sort-merges, shuffling the
+        frontier side — at the frontier10m shape that is a 10^7-row
+        exchange to anti-join a few thousand pops."""
+        if ("pops_floor" not in self.catalog.meta
+                and any(os.path.basename(r).startswith("compact_")
+                        for r in (self.catalog.manifest["tables"]
+                                  .get("frontier_adds") or ()))):
+            # legacy checkpoint: compacted frontier but no pops floor —
+            # the view reads every crawl_log round, so the since-
+            # compaction counters are not a bound
+            return None
+        return sum(st.pops_since_compact for st in self.sites.values())
+
     def _live_frontier(self) -> DataFrame | None:
         adds = self.catalog.read("frontier_adds")
         if adds is None:
             return None
         pops = self._pops_view()
         if pops is not None:
-            adds = adds.join(pops, ["site", "counter"], "left_anti")
+            pb = self._pops_rows_bound()
+            adds = adds.join(pops if pb is None else self._bc(pops, pb),
+                             ["site", "counter"], "left_anti")
         return adds
 
     def _pop_frontier(self, budgets: dict[str, int],
@@ -631,7 +697,9 @@ class CrawlEngine:
             adds = adds.unionByName(p)
         pops = self._pops_view()
         if pops is not None:
-            adds = adds.join(pops, ["site", "counter"], "left_anti")
+            pb = self._pops_rows_bound()
+            adds = adds.join(pops if pb is None else self._bc(pops, pb),
+                             ["site", "counter"], "left_anti")
         return adds.filter(F.col("site").isin(list(budgets)))
 
     def _url_seen_latest(self) -> DataFrame | None:
@@ -789,6 +857,14 @@ class CrawlEngine:
             if mp and mp > 0:
                 b = min(b, mp - st.pages_visited)
             budgets[name] = max(b, 0)
+        if _FRONTIER_SIZE_BOUNDS:
+            # a site whose tracked live frontier is empty can never pop
+            # or push again (links are same-site): retire it at round
+            # start, before any Spark job — when every site is empty
+            # the crawl's final round costs nothing
+            for name in list(budgets):
+                if self.sites[name].frontier_rows == 0:
+                    budgets.pop(name)
         active_sites = [n for n, b in budgets.items() if b > 0]
         for name, st in self.sites.items():
             if st.active and name not in active_sites:
@@ -796,25 +872,48 @@ class CrawlEngine:
         if not active_sites:
             return False
         budgets = {s: budgets[s] for s in active_sites}
+
+        def _fr(name: str) -> int | None:
+            return (self.sites[name].frontier_rows
+                    if _FRONTIER_SIZE_BOUNDS else None)
+
         # row-count bound for this round's popped set, used to gate the
-        # forced-broadcast hints: the cutoff admits ≤ budget admissible
-        # rows and < budget inadmissible rows per site
-        self._pop_bound = 2 * sum(budgets.values())
+        # forced-broadcast hints and the latency-mode compile: the
+        # cutoff admits ≤ budget admissible rows and < budget
+        # inadmissible rows per site, and no site can pop more rows
+        # than its live frontier holds — take the tighter of the two
+        # (frontier sizes are exact driver state; unknown = None falls
+        # back to the budget-only bound)
+        self._pop_bound = sum(
+            2 * b if _fr(s) is None else min(2 * b, _fr(s))
+            for s, b in budgets.items())
         # row-count bound for the SELECTION pipeline's intermediate
-        # frames (candidate prefix + admission): sites × prefix_k at
-        # the escalation's first iteration. ~64× the pop bound — the
-        # latency-mode static width must be sized to this, not the pop
-        # bound, or a 2k-URL round over many sites funnels a ~10^5-row
-        # prefix through width-1 exchanges (single-threaded top-K
-        # kernel + window).
-        self._sel_bound = len(budgets) * (max(budgets.values()) * 8 + 64)
+        # frames (candidate prefix + admission): min(prefix_k, live
+        # frontier rows) per site at the escalation's first iteration
+        # (the prefix can't exceed the frontier it is drawn from).
+        # Without frontier sizes this is sites × prefix_k — ~64× the
+        # pop bound; the latency-mode static width must be sized to
+        # this, not the pop bound, or a 2k-URL round over many sites
+        # funnels a ~10^5-row prefix through width-1 exchanges
+        # (single-threaded top-K kernel + window).
+        pk0 = max(budgets.values()) * 8 + 64
+        self._sel_bound = sum(
+            pk0 if _fr(s) is None else min(pk0, _fr(s))
+            for s in budgets)
 
         # broadcast mode: one Bloom broadcast per round, shared by
         # admission and link dedup, released at the round barrier
         # (leaking one copy per round would OOM the executors).
         # cogroup mode: the filter never leaves the bloom_parts table —
         # one latest-wins view per round feeds the cogrouped probes.
-        if self.cfg.bloom_probe_mode == "broadcast":
+        # Rounds that will skip the probe (visited under the adaptive
+        # floor, see _bloom_split) skip the broadcast/view too.
+        self._bloom_probe_skip = _BLOOM_PROBE_ADAPTIVE and (
+            self.catalog.table_bytes("visited") < self.cfg.prune_min_bytes)
+        if self._bloom_probe_skip:
+            self._bloom_bc = None
+            self._bloom_table = None
+        elif self.cfg.bloom_probe_mode == "broadcast":
             self._bloom_bc = self.spark.sparkContext.broadcast(
                 [p for p in self._bloom.parts])
             self._bloom_table = None
@@ -880,7 +979,12 @@ class CrawlEngine:
         bound = self._pop_bound
         if _LATENCY_WIDTH_FROM_SEL_BOUND:
             bound = max(bound, getattr(self, "_sel_bound", 0))
-        width = 1 if bound <= 4_000 else 8
+        # width 1 only for genuinely micro rounds (equivalence/drain
+        # tails): a few-thousand-pop round can still explode 10-20×
+        # that many LINKS through its dedup exchanges (round-6: the
+        # bench's 2.9k-pop round carries ~54k links), so the one-task
+        # tier now stops at 256
+        width = 1 if bound <= 256 else 8
         conf.set("spark.sql.shuffle.partitions",
                  str(min(int(old_sp), width)))
         try:
@@ -994,7 +1098,21 @@ class CrawlEngine:
         filter whole anywhere — probe rows cogroup with the committed
         ``bloom_parts`` table on partition id (the 4096-partition
         production shape, where the full filter is GBs and must not
-        transit the driver)."""
+        transit the driver).
+
+        Round-6 adaptive skip: the prefilter's only job is to spare the
+        EXACT membership check a scan of the visited table. Below the
+        same on-disk floor that gates bucket pruning
+        (``prune_min_bytes``) that scan is already trivial, while the
+        probe itself costs a Python-worker stage per call site (guide
+        §4) — so small corpora skip straight to the exact check.
+        ``_maybe=True`` is the probe's no-information answer (a Bloom
+        filter has no false negatives): downstream results are
+        identical, rows just take the exact-check path. The Bloom
+        DELTA maintenance below is unaffected — the filter stays
+        current for the rounds where the corpus outgrows the floor."""
+        if getattr(self, "_bloom_probe_skip", False):
+            return df.withColumn("_maybe", F.lit(True))
         P, bits, k = (self._bloom.num_partitions, self._bloom.bits,
                       self._bloom.k)
         out_schema = StructType(list(df.schema.fields)
@@ -1059,14 +1177,29 @@ class CrawlEngine:
             # immediately instead of holding superseded prefix/probe/
             # admission copies in executor storage until the barrier
             it_tmp = len(self._round_tmp)
-            self._prefix_bound = len(budgets) * prefix_k
+            if _FRONTIER_SIZE_BOUNDS:
+                # per-site prefix rows ≤ min(prefix_k, live frontier)
+                self._prefix_bound = sum(
+                    prefix_k if self.sites[s].frontier_rows is None
+                    else min(prefix_k, self.sites[s].frontier_rows)
+                    for s in budgets)
+            else:
+                self._prefix_bound = len(budgets) * prefix_k
             frontier = self._pop_frontier(budgets, prefix_k)
             if frontier is None:
                 return None
             # persisted: the admission bucket-prune collect materializes
             # the prefix once; the popped/stats plans then read cache
-            # instead of re-scanning the frontier
-            prefix = self._persist_tmp(candidate_prefix(frontier, prefix_k))
+            # instead of re-scanning the frontier. Small rounds (exact
+            # tracked frontier under the latency threshold) skip the
+            # two Arrow top-K passes — the rank window alone is exact
+            # and two Python-stage round-trips cheaper (guide §4).
+            small = (_FRONTIER_SIZE_BOUNDS and all(
+                self.sites[s].frontier_rows is not None for s in budgets)
+                and sum(self.sites[s].frontier_rows for s in budgets)
+                <= (self.cfg.latency_round_rows or 0))
+            prefix = self._persist_tmp(
+                candidate_prefix(frontier, prefix_k, small=small))
             cand = self._admission_flags(prefix)
             if self.cfg.host_budget is not None:
                 # politeness: over-budget rows stay in the frontier
@@ -1138,9 +1271,14 @@ class CrawlEngine:
         eager_pool = None
         eager_futs: list[tuple[str, object]] = []
         if cfg.eager_stage:
-            from concurrent.futures import ThreadPoolExecutor
+            # one pool per ENGINE, reused across rounds (threads spawn
+            # lazily and idle between rounds; a fresh 16-thread pool
+            # per round was pure churn — round-5 verdict minor #3)
+            if self._eager_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            eager_pool = ThreadPoolExecutor(max_workers=16)
+                self._eager_pool = ThreadPoolExecutor(max_workers=16)
+            eager_pool = self._eager_pool
 
         def stage(table: str, df: DataFrame):
             if eager_pool is not None:
@@ -1161,9 +1299,10 @@ class CrawlEngine:
             staged: dict[str, list[str]] = {k: list(v)
                                             for k, v in pre_staged.items()}
             if eager_pool is not None:
+                # join futures only — the engine-owned pool outlives
+                # the round
                 for t, fut in eager_futs:
                     staged.setdefault(t, []).append(fut.result())
-                eager_pool.shutdown()
                 return staged
             # one thread per staged table: each write is a small job
             # over cached parents, so the flush wall is the slowest
@@ -1369,6 +1508,81 @@ class CrawlEngine:
         # its post-floor delta dirs (round-5 write-merge); new_visited
         # still feeds the Bloom delta below
 
+        # ---- executor-side Bloom deltas (never collect url_hashes:
+        # at 10^6-10^7 visited/round that collect is a driver choke
+        # point; the per-partition bitmap deltas are bounded by
+        # P × bits/8 regardless of row count) ----
+        # Round-6: the delta depends ONLY on popped (via new_visited),
+        # so in broadcast mode its collect is submitted HERE — before
+        # the link-dedup/metrics plans are even built — and its job
+        # overlaps the round's fetch + link work instead of serializing
+        # with the metrics rollup at the barrier (guide §2.6: overlap
+        # independent jobs; concurrent first-materialization of the
+        # popped checkpoint is BlockManager-locked, the same safety the
+        # eager staged writes rely on).
+        bits, k = self._bloom.bits, self._bloom.k
+        P = self._bloom.num_partitions
+
+        def build_delta(key, pdf):
+            return pd.DataFrame([{
+                "pid": int(key[0]),
+                "bits": bitmap_delta(pdf["url_hash"].to_numpy(), bits, k)
+                .tobytes()}])
+
+        # explicit width on the pid exchange: the bitmap stage is
+        # CPU-bound Python over a small-BYTES shuffle (16 B/row), so
+        # byte-based AQE coalescing (advisory=16m, parallelismFirst=
+        # false) collapses a 10^6-row round's delta build to 1-2 tasks
+        # — measured 0.64 → 0.91-1.05 s at 1e6 rows (round-5 AQE
+        # bisect). A user repartition with an explicit count is exempt
+        # from coalescing and already satisfies the groupBy's
+        # distribution, so this pins parallelism without adding an
+        # exchange.
+        delta_width = min(P, self.cfg.shuffle_partitions)
+        delta_df = (new_visited
+                    .select(F.pmod(F.col("url_hash"), F.lit(P))
+                            .cast("int").alias("pid"), "url_hash")
+                    .repartition(delta_width, "pid")
+                    .groupBy("pid")
+                    .applyInPandas(build_delta, schema="pid int, bits binary"))
+        fut_delta = None
+        if self.cfg.bloom_probe_mode == "broadcast":
+            if eager_pool is not None:
+                fut_delta = eager_pool.submit(delta_df.collect)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _delta_pool = ThreadPoolExecutor(max_workers=1)
+                fut_delta = _delta_pool.submit(delta_df.collect)
+                _delta_pool.shutdown(wait=False)
+        else:
+            # table mode: merge executor-side (broadcast join on the
+            # ≤P-row parts view); no bitmap ever reaches the driver
+            prev = self._bloom_table
+            if prev is not None:
+                joined = (delta_df.alias("d")
+                          .join(F.broadcast(prev.select(
+                              "pid", F.col("bits").alias("pbits"))),
+                              "pid", "left"))
+
+                def or_fn(batches):
+                    for pdf in batches:
+                        out = []
+                        for row in pdf.itertuples(index=False):
+                            d = np.frombuffer(row.bits, dtype=np.uint8)
+                            if row.pbits is not None:
+                                d = d | np.frombuffer(row.pbits,
+                                                      dtype=np.uint8)
+                            out.append({"pid": row.pid,
+                                        "bits": d.tobytes()})
+                        yield pd.DataFrame(out, columns=["pid", "bits"])
+
+                merged = joined.mapInPandas(or_fn,
+                                            schema="pid int, bits binary")
+            else:
+                merged = delta_df
+            stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
+
         # ---- link discovery + frontier push (crawler.py:1203-1208) ----
         links = (
             fetched.filter((F.col("fetch_status") == 200) & F.col("links").isNotNull())
@@ -1443,45 +1657,12 @@ class CrawlEngine:
                    .withColumn("round", F.lit(rno)))
         stage("lineage", lineage)
 
-        # ---- executor-side Bloom deltas (never collect url_hashes:
-        # at 10^6-10^7 visited/round that collect is a driver choke
-        # point; the per-partition bitmap deltas are bounded by
-        # P × bits/8 regardless of row count) ----
-        bits, k = self._bloom.bits, self._bloom.k
-        P = self._bloom.num_partitions
-
-        def build_delta(key, pdf):
-            return pd.DataFrame([{
-                "pid": int(key[0]),
-                "bits": bitmap_delta(pdf["url_hash"].to_numpy(), bits, k)
-                .tobytes()}])
-
-        # explicit width on the pid exchange: the bitmap stage is
-        # CPU-bound Python over a small-BYTES shuffle (16 B/row), so
-        # byte-based AQE coalescing (advisory=16m, parallelismFirst=
-        # false) collapses a 10^6-row round's delta build to 1-2 tasks
-        # — measured 0.64 → 0.91-1.05 s at 1e6 rows (round-5 AQE
-        # bisect). A user repartition with an explicit count is exempt
-        # from coalescing and already satisfies the groupBy's
-        # distribution, so this pins parallelism without adding an
-        # exchange.
-        delta_width = min(P, self.cfg.shuffle_partitions)
-        delta_df = (new_visited
-                    .select(F.pmod(F.col("url_hash"), F.lit(P))
-                            .cast("int").alias("pid"), "url_hash")
-                    .repartition(delta_width, "pid")
-                    .groupBy("pid")
-                    .applyInPandas(build_delta, schema="pid int, bits binary"))
-        if self.cfg.bloom_probe_mode == "broadcast":
-            # the two round-barrier collects (metrics rollup, bloom
-            # deltas) are independent — overlap their job overhead
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                fut_m = ex.submit(metrics.collect)
-                fut_d = ex.submit(delta_df.collect)
-                metrics_rows = fut_m.result()
-                delta_rows = fut_d.result()
+        # ---- barrier: metrics rollup + the early-submitted Bloom
+        # delta (broadcast mode; its job has been running since the
+        # visited section — by now it is usually done) ----
+        metrics_rows = metrics.collect()
+        if fut_delta is not None:
+            delta_rows = fut_delta.result()
             if delta_rows:
                 for r in delta_rows:
                     self._bloom.or_delta(r["pid"], r["bits"])
@@ -1494,34 +1675,6 @@ class CrawlEngine:
                       "round": rno} for r in delta_rows],
                     pa.schema([("pid", pa.int32()), ("bits", pa.binary()),
                                ("round", pa.int32())]))
-        else:
-            # table mode: merge executor-side (broadcast join on the
-            # ≤P-row parts view); no bitmap ever reaches the driver
-            prev = self._bloom_table
-            if prev is not None:
-                joined = (delta_df.alias("d")
-                          .join(F.broadcast(prev.select(
-                              "pid", F.col("bits").alias("pbits"))),
-                              "pid", "left"))
-
-                def or_fn(batches):
-                    for pdf in batches:
-                        out = []
-                        for row in pdf.itertuples(index=False):
-                            d = np.frombuffer(row.bits, dtype=np.uint8)
-                            if row.pbits is not None:
-                                d = d | np.frombuffer(row.pbits,
-                                                      dtype=np.uint8)
-                            out.append({"pid": row.pid,
-                                        "bits": d.tobytes()})
-                        yield pd.DataFrame(out, columns=["pid", "bits"])
-
-                merged = joined.mapInPandas(or_fn,
-                                            schema="pid int, bits binary")
-            else:
-                merged = delta_df
-            stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
-            metrics_rows = metrics.collect()
 
         if metrics_rows:
             import pyarrow as pa
@@ -1550,8 +1703,13 @@ class CrawlEngine:
                             ("fetched", "not_modified", "not_indexed_content_type"))
             st.pages_visited += fetched_n
             st.url_counter += new_link_counts.get(name, 0)
-            st.pops_since_compact += sum(counts.get(a, 0)
-                                         for a in _POP_ACTIONS)
+            pops = sum(counts.get(a, 0) for a in _POP_ACTIONS)
+            st.pops_since_compact += pops
+            if st.frontier_rows is not None:
+                # exact live-frontier size: + pushed − popped (every
+                # popped row is counted exactly once in _POP_ACTIONS;
+                # 'pushed' counts the post-dedup/post-cap adds rows)
+                st.frontier_rows += new_link_counts.get(name, 0) - pops
             if counts or new_link_counts.get(name):
                 any_pop = True
 
@@ -1780,8 +1938,10 @@ class CrawlEngine:
                                      ["site", "url"], "left_semi")
             pops = self._pops_view()
             if pops is not None:
+                pb = self._pops_rows_bound()
                 still_queued = still_queued.join(
-                    pops, ["site", "counter"], "left_anti")
+                    pops if pb is None else self._bc(pops, pb),
+                    ["site", "counter"], "left_anti")
             still_queued = (
                 still_queued
                 .join(self._bc(popped.select("site", "counter"),

@@ -41,6 +41,7 @@ def main() -> None:
     for rep in range(REPS):
         for name, flag in (("old", False), ("new", True)):
             crawler_mod._FRONTIER_SIZE_BOUNDS = flag
+            crawler_mod._BLOOM_PROBE_ADAPTIVE = flag
             t0 = time.perf_counter()
             r = crawl_throughput(spark)
             sec = time.perf_counter() - t0

@@ -200,7 +200,11 @@ def test_cogroup_bloom_mode(spark, web, tmp_path):
     oracle = {s["site"]: crawl_site(fx, s, batch_size=3) for s in fx.seeds}
     root = tmp_path / "cat"
     cfg = CrawlConfig(round_budget=3, shuffle_partitions=4,
-                      bloom_probe_mode="cogroup")
+                      bloom_probe_mode="cogroup",
+                      # keep the cogroup PROBE path exercised at this
+                      # tiny web: the default prune floor would take the
+                      # round-6 exact-check shortcut instead
+                      prune_min_bytes=0)
     eng1 = CrawlEngine(spark, str(root), paths["pages"], fx.seeds, fx.robots,
                        cfg, initial_url_seen=fx.url_seen)
     eng1.run(max_rounds=5)
