@@ -1303,6 +1303,8 @@ class CrawlEngine:
                 # the round
                 for t, fut in eager_futs:
                     staged.setdefault(t, []).append(fut.result())
+                for fut in kick_futs:
+                    fut.result()
                 return staged
             # one thread per staged table: each write is a small job
             # over cached parents, so the flush wall is the slowest
@@ -1358,6 +1360,21 @@ class CrawlEngine:
             .repartition(cfg.shuffle_partitions, F.xxhash64(F.col("host"), salt))
             .mapInPandas(self._fetch_udf, schema=FETCH_SCHEMA)
         )
+        # kick the fetch NOW (noop sink, guide §1.4): the checkpoint
+        # materializes on its first action, which otherwise is the
+        # eager documents write — submitted only after ~0.5-1 s of
+        # driver-side plan construction (seen join, indexing decision,
+        # doc projection). The round's dominant real work starts
+        # before that instead of after; every later consumer reads the
+        # stored checkpoint blocks. One extra no-op job (~0.15 s)
+        # buys the overlap; failure surfacing is unchanged (the write
+        # that shares the checkpoint re-raises the same error, and the
+        # future is joined at the barrier).
+        kick_futs: list = []
+        if eager_pool is not None:
+            kick_futs.append(eager_pool.submit(
+                lambda: fetched.write.format("noop")
+                .mode("overwrite").save()))
         # ---- indexing decision (crawler.py:1033-1058) ----
         ok = fetched.filter(F.col("fetch_status") == 200)
         # seen-log lookup keyed by final URL, pruned to this round's
@@ -1583,6 +1600,44 @@ class CrawlEngine:
                 merged = delta_df
             stage("bloom_parts", merged.withColumn("round", F.lit(rno)))
 
+        # ---- metrics, adds-independent components (A2/A3) ----
+        # Round-6: four of the five metrics components depend only on
+        # frames that exist BEFORE link discovery (fetched / popped /
+        # indexed / intra-round skips) — their rollup is submitted
+        # here so its job overlaps the link-dedup work, and only the
+        # pushed count (over the final adds) stays at the barrier.
+        action = (
+            F.when(F.col("fetch_status") == -1, "error")
+            .when((F.col("fetch_status") == 304) | F.col("_is304").isNotNull(),
+                  "not_modified")
+            .when(F.col("fetch_status") == 0, "not_indexed_content_type")
+            .otherwise("fetched"))
+        fetch_counts = (
+            fetched.join(self._bc(intra304.select(
+                "site", "pos_in_round").withColumn("_is304", F.lit(True)),
+                self._pop_bound),
+                ["site", "pos_in_round"], "left")
+            .groupBy("site", action.alias("action")).count())
+        skip_counts = popped.filter(~F.col("admissible")).groupBy(
+            "site",
+            F.when(F.col("f_visited"), "visited_dup")
+            .when(F.col("f_excluded"), "excluded")
+            .when(F.col("f_ext"), "ext_skipped")
+            .otherwise("robots_denied").alias("action")).count()
+        idx_counts = indexed.groupBy("site").agg(F.count("*").alias("count")) \
+                            .withColumn("action", F.lit("indexed")) \
+                            .select("site", "action", "count")
+        cache_skip_counts = intra_skip.filter(F.col("f_cache_skip_final")) \
+            .groupBy("site").agg(F.count("*").alias("count")) \
+            .withColumn("action", F.lit("skipped_cache")) \
+            .select("site", "action", "count")
+        metrics_head = (fetch_counts.unionByName(skip_counts)
+                        .unionByName(idx_counts)
+                        .unionByName(cache_skip_counts)
+                        .withColumn("round", F.lit(rno)))
+        fut_metrics = (eager_pool.submit(metrics_head.collect)
+                       if eager_pool is not None else None)
+
         # ---- link discovery + frontier push (crawler.py:1203-1208) ----
         links = (
             fetched.filter((F.col("fetch_status") == 200) & F.col("links").isNotNull())
@@ -1618,39 +1673,12 @@ class CrawlEngine:
         # it back with manifest-level round pruning — one fewer staged
         # write job per round for byte-identical anti-join semantics
 
-        # ---- metrics + lineage (A2/A3; status.json analog S9) ----
-        action = (
-            F.when(F.col("fetch_status") == -1, "error")
-            .when((F.col("fetch_status") == 304) | F.col("_is304").isNotNull(),
-                  "not_modified")
-            .when(F.col("fetch_status") == 0, "not_indexed_content_type")
-            .otherwise("fetched"))
-        fetch_counts = (
-            fetched.join(self._bc(intra304.select(
-                "site", "pos_in_round").withColumn("_is304", F.lit(True)),
-                self._pop_bound),
-                ["site", "pos_in_round"], "left")
-            .groupBy("site", action.alias("action")).count())
-        skip_counts = popped.filter(~F.col("admissible")).groupBy(
-            "site",
-            F.when(F.col("f_visited"), "visited_dup")
-            .when(F.col("f_excluded"), "excluded")
-            .when(F.col("f_ext"), "ext_skipped")
-            .otherwise("robots_denied").alias("action")).count()
-        idx_counts = indexed.groupBy("site").agg(F.count("*").alias("count")) \
-                            .withColumn("action", F.lit("indexed")) \
-                            .select("site", "action", "count")
-        cache_skip_counts = intra_skip.filter(F.col("f_cache_skip_final")) \
-            .groupBy("site").agg(F.count("*").alias("count")) \
-            .withColumn("action", F.lit("skipped_cache")) \
-            .select("site", "action", "count")
-        pushed_counts = adds.groupBy("site").agg(F.count("*").alias("count")) \
-                            .withColumn("action", F.lit("pushed")) \
-                            .select("site", "action", "count")
-        metrics = (fetch_counts.unionByName(skip_counts)
-                   .unionByName(idx_counts).unionByName(cache_skip_counts)
-                   .unionByName(pushed_counts)
-                   .withColumn("round", F.lit(rno)))
+        # ---- metrics tail (pushed) + lineage (S9) ----
+        pushed_counts = (adds.groupBy("site")
+                         .agg(F.count("*").alias("count"))
+                         .withColumn("action", F.lit("pushed"))
+                         .select("site", "action", "count")
+                         .withColumn("round", F.lit(rno)))
         lineage = (fetched.groupBy("site", F.spark_partition_id().alias("partition_id"))
                    .agg(F.count("*").alias("n_rows"),
                         F.sum(F.length(F.coalesce("content", F.lit("")))).alias("bytes_content"))
@@ -1660,7 +1688,10 @@ class CrawlEngine:
         # ---- barrier: metrics rollup + the early-submitted Bloom
         # delta (broadcast mode; its job has been running since the
         # visited section — by now it is usually done) ----
-        metrics_rows = metrics.collect()
+        if fut_metrics is not None:
+            metrics_rows = fut_metrics.result() + pushed_counts.collect()
+        else:
+            metrics_rows = metrics_head.unionByName(pushed_counts).collect()
         if fut_delta is not None:
             delta_rows = fut_delta.result()
             if delta_rows:
@@ -1687,7 +1718,7 @@ class CrawlEngine:
                 pa.schema([("site", pa.string()), ("action", pa.string()),
                            ("count", pa.int64()), ("round", pa.int32())]))
         else:
-            stage("metrics", metrics)
+            stage("metrics", metrics_head.unionByName(pushed_counts))
 
         # ---- driver state ----
         per_site_fetch = {}
