@@ -425,47 +425,27 @@ def seen_scale_probe(spark: SparkSession, sizes=(1_000_000, 10_000_000),
                                     "anti_new": timed(new_anti)}
                 if regime in ("scan", "scan10k"):
                     # second-level-layout experiment (round-3 verdict
-                    # next-step #6): the files are already sorted by
-                    # (bucket, url) — does pushing the key list as a
-                    # parquet In filter let row-group min/max stats
-                    # prune INSIDE files once bucket pruning is moot?
-                    # (Threshold raised so Spark pushes the real In,
-                    # not its min/max-range rewrite.) Errors are data:
-                    # at 10^4 values parquet-mr's recursive Or-tree
-                    # predicate builder stack-overflows — recorded.
-                    key_list = [r[0] for r in keys.collect()]
-
-                    def inpush_seen():
-                        spark.conf.set(
-                            "spark.sql.parquet.pushdown.inFilterThreshold",
-                            "100000")
-                        try:
-                            pruned = (log.filter(F.col("url").isin(key_list))
-                                      .join(F.broadcast(keys),
-                                            "url", "left_semi"))
-                            latest = (pruned.withColumn(
-                                "_rn", F.row_number().over(w))
-                                .filter(F.col("_rn") == 1).drop("_rn"))
-                            keys.join(latest, "url", "left").count()
-                        finally:
-                            spark.conf.unset(
-                                "spark.sql.parquet.pushdown.inFilterThreshold")
-
-                    try:
-                        out[key][regime]["seen_inpush"] = timed(inpush_seen)
-                    except Exception as exc:
-                        # errors are data, but STRUCTURED data (round-4
-                        # verdict #3): the known finding is parquet-mr's
-                        # recursive Or-tree predicate builder overflowing
-                        # at ~10^4 pushed In-keys — the measured ceiling
-                        # that keeps broadcast-semi the wide-round
-                        # default (ROUND4.md #6).
-                        msg = str(exc)
-                        kind = ("parquet_in_pushdown_stack_overflow"
-                                if "StackOverflowError" in msg
-                                else type(exc).__name__)
-                        out[key][regime]["seen_inpush"] = {
-                            "error": kind, "keys": n_keys}
+                    # next-step #6), RETIRED as a typed finding
+                    # (round-5 verdict "What's wrong" #3): pushing the
+                    # key list as a wide parquet In-filter was measured
+                    # for three rounds and REJECTED — at 1e4 keys
+                    # parquet-mr's recursive Or-tree predicate builder
+                    # stack-overflows (the measured ceiling that keeps
+                    # broadcast-semi the wide-round default, ROUND4.md
+                    # #6), and at 500 keys the interpreted Or-chain's
+                    # one-off win over the shipped broadcast-semi scan
+                    # (0.855/0.691 s vs 1.36/1.25 s at 1e6/1e7 in the
+                    # driver's round-5 record) cannot generalize past
+                    # the overflow ceiling. Re-measuring a rejected
+                    # design cost ~82 s per bench run; the historical
+                    # numbers stay recorded here and in BENCH_r05.
+                    out[key][regime]["seen_inpush"] = {
+                        "skipped": "rejected_design_interpreted_or_chain",
+                        "measured_driver_r05":
+                            {"scan_1e6_sec": 0.855, "scan_1e7_sec": 0.691,
+                             "scan10k": "parquet_in_pushdown_"
+                                        "stack_overflow_at_1e4_keys"},
+                    }
                 keys.unpersist()
         ks = list(out)
         if len(ks) >= 2:

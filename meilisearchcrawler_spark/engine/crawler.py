@@ -1741,6 +1741,12 @@ class CrawlEngine:
                 # popped row is counted exactly once in _POP_ACTIONS;
                 # 'pushed' counts the post-dedup/post-cap adds rows)
                 st.frontier_rows += new_link_counts.get(name, 0) - pops
+                if st.frontier_rows < 0:
+                    # impossible through the engine — a harness staged
+                    # frontier rows out-of-band (direct catalog
+                    # surgery). Tracking is stale: fall back to
+                    # unknown so no bound or retirement trusts it.
+                    st.frontier_rows = None
             if counts or new_link_counts.get(name):
                 any_pop = True
 

@@ -120,6 +120,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                   F.explode(shingles_from_words(F.col("_w"), shingle_n))
                   .alias("shingle"))
           .select(F.col(id_col), F.md5(F.col("shingle")).alias("h")))
+    # NOTE (round-6, measured negative result): aggregating the
+    # NUMERIC value of each hex window (conv→min(long)→hex back, to
+    # turn the SortAggregate into a hash aggregate) is ~15% SLOWER
+    # interleaved at sf0.1 — the per-shingle conv on the exploded
+    # frame costs more than the sort saves. String min stays.
     aggs = [
         F.min(F.substring(F.col("h"), 1 + i * width, width)).alias(f"min_h{i}")
         for i in range(num_hashes)
@@ -153,16 +158,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_sig")
-    # the banded signature table feeds three consumers (bucket sizing +
-    # both sides of the self-join); without this the shingle explode +
-    # groupBy runs 4× (measured 4× wall on the bench)
-    banded = banded.persist()
-
-    bucket_sizes = banded.groupBy("band_id", "band_sig").agg(F.count("*").alias("_bs"))
-    banded = (
-        banded.join(F.broadcast(bucket_sizes.filter(F.col("_bs") > max_bucket_size)),
-                    ["band_id", "band_sig"], "left_anti")
-    )
+    # bucket-size guard as a WINDOW over the (band_id, band_sig)
+    # exchange the self-join needs anyway (round-6; guide §2.4: two
+    # operations keyed the same way share one exchange). The former
+    # shape — persist + separate groupBy job + broadcast anti-join —
+    # cost two extra driver-blocking jobs per call and left a cached
+    # copy behind; here the count-over-partition IS the bucket size
+    # (identical survivors: keep _bs ≤ max_bucket_size), the join's
+    # two sides reuse one exchange+sort (ReusedExchange), and the
+    # expensive minhash subtree is computed once, not persisted.
+    wb = Window.partitionBy("band_id", "band_sig")
+    banded = (banded
+              .withColumn("_bs", F.count("*").over(wb))
+              .filter(F.col("_bs") <= max_bucket_size)
+              .drop("_bs"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

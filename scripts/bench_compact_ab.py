@@ -60,6 +60,10 @@ def one_run(spark, fx, paths, workers: int) -> float:
     rel = eng.catalog.stage("frontier_adds", filler, 0, max_files=0)
     eng.catalog.commit_round(eng.catalog.committed_round,
                              {"frontier_adds": [rel]}, eng.catalog.state)
+    # out-of-band frontier injection: driver-side size tracking is now
+    # stale; mark it unknown so the engine falls back to budget bounds
+    for _st in eng.sites.values():
+        _st.frontier_rows = None
 
     walls: list[float] = []
     orig = CrawlEngine._compact

@@ -80,6 +80,10 @@ def main() -> None:
     rel = eng.catalog.stage("frontier_adds", filler, 0, max_files=0)
     eng.catalog.commit_round(eng.catalog.committed_round,
                              {"frontier_adds": [rel]}, eng.catalog.state)
+    # out-of-band frontier injection: driver-side size tracking is now
+    # stale; mark it unknown so the engine falls back to budget bounds
+    for _st in eng.sites.values():
+        _st.frontier_rows = None
 
     rounds_out = []
     for i in range(ROUNDS):
