@@ -36,7 +36,7 @@ import re
 from typing import NamedTuple
 
 from .text import sniff_lang
-from .urls import is_valid_url, normalize_url
+from .urls import _url_meta, normalize_url
 from urllib.parse import urljoin
 
 # Quote-aware tag inside: a literal `>` within a quoted attribute value
@@ -86,13 +86,26 @@ _ATTR_TOKEN = re.compile(
     re.DOTALL)
 
 
+# tag-inner → attrs memo (round-6): identical tag markup recurs across
+# every page of a site (nav/header/footer boilerplate), and parse_attrs
+# was 24% of the fetch kernel's profile. Callers treat the result as
+# READ-ONLY (all call sites are .get()); the cap bounds a long-lived
+# Python worker's memory and clearing is semantics-free.
+_ATTRS_CACHE: dict[str, dict[str, str]] = {}
+_ATTRS_CACHE_MAX = 1 << 16
+
+
 def parse_attrs(tag_inner: str) -> dict[str, str]:
     """Attribute dict of one tag's inside (everything between the tag
     name and ``>``): names lowercased, first occurrence wins, values
     from any quoting form — the generic-HTML attribute handling the
     reference gets from BeautifulSoup (crawler.py:520-628 consumes
     ``meta[property/content]``, ``a[href]``, ``img[src/alt/...]``,
-    ``html[lang]``, ``id``/``class`` selectors)."""
+    ``html[lang]``, ``id``/``class`` selectors). Returns a memoized
+    dict — do not mutate."""
+    cached = _ATTRS_CACHE.get(tag_inner)
+    if cached is not None:
+        return cached
     out: dict[str, str] = {}
     for m in _ATTR_TOKEN.finditer(tag_inner):
         name = m.group(1).lower()
@@ -104,6 +117,9 @@ def parse_attrs(tag_inner: str) -> dict[str, str]:
             val = m.group(4) or ""
         if name not in out:
             out[name] = val
+    if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
+        _ATTRS_CACHE.clear()
+    _ATTRS_CACHE[tag_inner] = out
     return out
 
 
@@ -377,7 +393,7 @@ def extract_images(html: str, base_url: str, max_images: int = 5) -> list[dict]:
             except (ValueError, TypeError):
                 pass
         full_url = urljoin(base_url, src)
-        if not is_valid_url(full_url):
+        if not _url_meta(full_url)[0]:
             continue
         if full_url not in seen:
             images.append({"url": full_url, "alt": alt or "Image", "description": alt or "Image"})
@@ -390,15 +406,17 @@ def extract_links(html: str, final_url: str, seed_url: str) -> list[str]:
     document order → ``normalize_url(urljoin(final_url, href))``,
     admitted if valid (F6) and same-domain vs the site seed (F7).
     Duplicates are kept — frontier-side dedup decides."""
-    from .urls import is_same_domain
+    from .urls import _url_meta
 
     links: list[str] = []
+    seed_netloc = _url_meta(seed_url)[1]
     for m in _A_TAG.finditer(_strip_comments(html)):
         href = parse_attrs(m.group(1)).get("href")
         if not href:
             continue
         full = normalize_url(urljoin(final_url, href))
-        if is_valid_url(full) and is_same_domain(full, seed_url):
+        valid, netloc = _url_meta(full)
+        if valid and netloc == seed_netloc:
             links.append(full)
     return links
 

@@ -75,6 +75,31 @@ def is_valid_url(url: str) -> bool:
     return True
 
 
+# url → (is_valid, netloc) memo (round-6): link extraction asks both
+# questions of every discovered URL, the same URLs recur across a
+# site's pages (nav links), and urllib.parse was ~29% of the fetch
+# kernel's profile. Same F6 semantics (ValueError → invalid); the cap
+# bounds a long-lived worker's memory.
+_URL_META_CACHE: dict[str, tuple[bool, str]] = {}
+_URL_META_MAX = 1 << 16
+
+
+def _url_meta(url: str) -> tuple[bool, str]:
+    hit = _URL_META_CACHE.get(url)
+    if hit is not None:
+        return hit
+    try:
+        p = urlparse(url)
+        meta = (p.scheme in ("http", "https")
+                and p.netloc not in INVALID_HOSTS, p.netloc)
+    except ValueError:
+        meta = (False, "")
+    if len(_URL_META_CACHE) >= _URL_META_MAX:
+        _URL_META_CACHE.clear()
+    _URL_META_CACHE[url] = meta
+    return meta
+
+
 def is_same_domain(url1: str, url2: str) -> bool:
     """F7. crawler.py:480-481."""
     return urlparse(url1).netloc == urlparse(url2).netloc
