@@ -111,7 +111,11 @@ def phash64(pixels: np.ndarray) -> int:
         for j in range(32):
             cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
                         xs[j]:max(xs[j + 1], xs[j] + 1)]
-            small[i, j] = cell.mean()
+            # bit-identical to cell.mean() (numpy's _mean IS
+            # umr_sum/rcount) at ~half the per-call overhead — this
+            # 1024-cell loop was 84% of the image verify stage's
+            # per-row profile (round-6)
+            small[i, j] = cell.sum() / cell.size
     coef = _DCT32 @ small @ _DCT32.T
     low = coef[:8, :8].flatten()[1:]
     med = np.median(low)
