@@ -1637,6 +1637,16 @@ class CrawlEngine:
                         .withColumn("round", F.lit(rno)))
         fut_metrics = (eager_pool.submit(metrics_head.collect)
                        if eager_pool is not None else None)
+        # lineage (S9) depends only on the fetched frame — stage it
+        # here so its write overlaps the link-dedup stats job instead
+        # of queueing behind the whole adds pipeline
+        lineage = (fetched.groupBy("site",
+                                   F.spark_partition_id().alias("partition_id"))
+                   .agg(F.count("*").alias("n_rows"),
+                        F.sum(F.length(F.coalesce("content", F.lit(""))))
+                        .alias("bytes_content"))
+                   .withColumn("round", F.lit(rno)))
+        stage("lineage", lineage)
 
         # ---- link discovery + frontier push (crawler.py:1203-1208) ----
         links = (
@@ -1673,17 +1683,12 @@ class CrawlEngine:
         # it back with manifest-level round pruning — one fewer staged
         # write job per round for byte-identical anti-join semantics
 
-        # ---- metrics tail (pushed) + lineage (S9) ----
+        # ---- metrics tail (pushed) ----
         pushed_counts = (adds.groupBy("site")
                          .agg(F.count("*").alias("count"))
                          .withColumn("action", F.lit("pushed"))
                          .select("site", "action", "count")
                          .withColumn("round", F.lit(rno)))
-        lineage = (fetched.groupBy("site", F.spark_partition_id().alias("partition_id"))
-                   .agg(F.count("*").alias("n_rows"),
-                        F.sum(F.length(F.coalesce("content", F.lit("")))).alias("bytes_content"))
-                   .withColumn("round", F.lit(rno)))
-        stage("lineage", lineage)
 
         # ---- barrier: metrics rollup + the early-submitted Bloom
         # delta (broadcast mode; its job has been running since the
