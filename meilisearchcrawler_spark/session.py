@@ -67,6 +67,17 @@ def get_spark(master: str | None = None, shuffle_partitions: int = 32,
         # (measured 2.7x slower than 16 MB → 31 partitions); kilobyte
         # frames still collapse to 1 either way.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # the automatic runtime-Bloom-filter injection rule
+        # (SPARK-32268) costs 0.3-0.5 s of driver CPU per join-bearing
+        # action on this engine's plans and has never once fired
+        # (QueryPlanningTracker: InjectRuntimeFilter 280-480 ms/action,
+        # effective count 0, across every engine action and all 39
+        # declared queries — no might_contain anywhere). The engine
+        # builds its own Bloom/semi-join prefilters where a join is
+        # selective (engine/bloom.py, _present_keys), so the rule is
+        # pure per-action planning overhead at any scale — measured
+        # 32.8 → 24.1 s interleaved on the bench crawl (round 6).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         # pin the parquet In-pushdown threshold at its safe default:
         # parquet-mr's recursive Or-tree predicate builder
         # stack-overflows at ~10^4 pushed In-values (measured,
