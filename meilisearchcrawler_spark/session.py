@@ -78,6 +78,17 @@ def get_spark(master: str | None = None, shuffle_partitions: int = 32,
         # pure per-action planning overhead at any scale — measured
         # 32.8 → 24.1 s interleaved on the bench crawl (round 6).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        # the JVM-global whole-stage-codegen class cache holds 100
+        # entries by default; one crawl round generates ~200 distinct
+        # codegen units (window/join/agg stages + projections whose
+        # source embeds per-round plan literals), so the LRU thrashes
+        # and every round recompiles ~1,100 classes (~7 s of Janino per
+        # crawl, CodegenMetrics-measured). At 5,000 entries warm rounds
+        # recompile NOTHING (0 compilations over 3 crawls) — fresh-JVM
+        # A/B pairs: 24.0/25.2 → 19.5/19.9 s (round 6). Static conf:
+        # effective only for the process that creates the JVM, like
+        # driver_memory above; cost is a few MB of cached bytecode.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # pin the parquet In-pushdown threshold at its safe default:
         # parquet-mr's recursive Or-tree predicate builder
         # stack-overflows at ~10^4 pushed In-values (measured,

@@ -43,6 +43,15 @@ def test_runtime_bloom_filter_injection_disabled():
         "spark.sql.optimizer.runtime.bloomFilter.enabled") == "false"
 
 
+def test_codegen_cache_sized_to_round_plan_diversity():
+    """One crawl round generates ~200 distinct codegen units; the
+    default 100-entry JVM-global class cache thrashes and recompiles
+    ~1,100 classes per crawl (round-6 CodegenMetrics measurement;
+    fresh-JVM A/B 24.0/25.2 -> 19.5/19.9 s at 5,000 entries)."""
+    cfgs = _builder_configs()
+    assert int(cfgs.get("spark.sql.codegen.cache.maxEntries", "0")) >= 5000
+
+
 def test_aqe_byte_based_coalescing_pinned():
     """Byte-based AQE coalescing (parallelismFirst=false + 16m
     advisory) — kilobyte round frames must coalesce below core count
