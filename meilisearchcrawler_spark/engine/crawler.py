@@ -425,6 +425,18 @@ _FRONTIER_SIZE_BOUNDS = True
 # answer). False = round-5 behavior (always probe).
 _BLOOM_PROBE_ADAPTIVE = True
 
+# Round-6 (second pass): two tracked-size-proven action skips.
+# (a) Skip the escalation stats collect when every budget site's
+# tracked live frontier is smaller than prefix_k — no site can fill
+# its prefix, so escalation is impossible and the collect is a
+# driver-blocking job serialized between selection and fetch; the
+# popped checkpoint then materializes inside the round's first eager
+# job instead. (b) Skip run_round's existence-only _live_frontier()
+# build (a per-round catalog parquet read) when any tracked size
+# proves frontier rows exist. False = round-6-first-pass behavior
+# (the measuring arm of scripts/bench_statskip_ab.py).
+_ESCALATION_STATS_SKIP = True
+
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, catalog_root: str,
@@ -842,11 +854,17 @@ class CrawlEngine:
         """One admission+fetch round across all active sites. Returns
         False when no site had frontier left (crawl complete)."""
         now = T0 + self.round_no * self.cfg.round_seconds
-        frontier = self._live_frontier()
-        if frontier is None:
-            for s in self.sites.values():
-                s.active = False
-            return False
+        # the live-frontier view is only built here to detect the
+        # no-frontier-at-all case; when any tracked size proves rows
+        # exist, skip the per-round catalog read (driver-side parquet
+        # listing + plan construction) that the view costs
+        if not (_ESCALATION_STATS_SKIP and _FRONTIER_SIZE_BOUNDS
+                and any(st.frontier_rows for st in self.sites.values()
+                        if st.frontier_rows is not None)):
+            if self._live_frontier() is None:
+                for s in self.sites.values():
+                    s.active = False
+                return False
         # per-site budgets (max_pages semantics, crawler.py:1155-1160)
         budgets = {}
         for name, st in self.sites.items():
@@ -1221,16 +1239,32 @@ class CrawlEngine:
                         .otherwise(F.col("_adm_run") < budget))
             # n_rank comes from the UNFILTERED prefix (the host-budget
             # filter may drop the last-ranked row from cand, which must
-            # not mask a full prefix); n_adm from the admission frame
-            stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
-                     prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
-                     .join(cand.groupBy("site").agg(
-                         F.sum((F.col("admissible") & pop_cond).cast("int"))
-                         .alias("n_adm")), "site", "left").collect()}
-            under = [s for s, (n_adm, n_rank) in stats.items()
-                     if (n_adm or 0) < budgets[s] and n_rank == prefix_k]
+            # not mask a full prefix); n_adm from the admission frame.
+            # Round-6: when every budget site's tracked live frontier
+            # is provably SMALLER than prefix_k, no site can fill its
+            # prefix (n_rank ≤ frontier_rows < prefix_k), so escalation
+            # is impossible and the stats collect — one driver-blocking
+            # job per round, serialized before the fetch — buys
+            # nothing. Skip it: the popped checkpoint then materializes
+            # inside the round's first eager job (crawl_log write /
+            # fetch kick) instead of its own synchronous action. Sites
+            # with untracked sizes (None) keep the stats path; a
+            # retirement-emptied budgets dict never reaches here.
+            if (_ESCALATION_STATS_SKIP and _FRONTIER_SIZE_BOUNDS and all(
+                    self.sites[s].frontier_rows is not None
+                    and self.sites[s].frontier_rows < prefix_k
+                    for s in budgets)):
+                stats = under = None
+            else:
+                stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
+                         prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
+                         .join(cand.groupBy("site").agg(
+                             F.sum((F.col("admissible") & pop_cond).cast("int"))
+                             .alias("n_adm")), "site", "left").collect()}
+                under = [s for s, (n_adm, n_rank) in stats.items()
+                         if (n_adm or 0) < budgets[s] and n_rank == prefix_k]
             if not under:
-                if not stats:
+                if stats is not None and not stats:
                     return None
                 popped = cand.filter(pop_cond).drop("_budget").withColumn(
                     "pos_in_round",

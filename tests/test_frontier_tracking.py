@@ -104,6 +104,34 @@ def test_legacy_state_without_frontier_rows_resumes(spark, tmp_path):
     assert got == want
 
 
+def test_escalation_stats_skip_is_row_identical(spark, tmp_path):
+    """With tracked sizes under ``prefix_k`` the escalation stats
+    collect is skipped (round-6). The crawl_log must be identical to
+    the stats-path run (tracking disabled module-wide), and the skip
+    must never fire when a site's frontier could fill its prefix."""
+    from meilisearchcrawler_spark.engine import crawler as crawler_mod
+
+    ship_package(spark)
+    fx, paths = _web(tmp_path)
+    cfg = dict(round_budget=6, shuffle_partitions=4)
+
+    def log_of(root):
+        eng = CrawlEngine(spark, root, paths["pages"], fx.seeds, fx.robots,
+                          CrawlConfig(**cfg), initial_url_seen=fx.url_seen)
+        eng.run(max_rounds=300)
+        return sorted(map(tuple, eng.catalog.read("crawl_log")
+                          .select("site", "round", "pos_in_round", "url",
+                                  "counter", "action").collect()))
+
+    want = log_of(str(tmp_path / "skip"))      # tracked: skip active
+    crawler_mod._FRONTIER_SIZE_BOUNDS = False  # stats path for every round
+    try:
+        got = log_of(str(tmp_path / "stats"))
+    finally:
+        crawler_mod._FRONTIER_SIZE_BOUNDS = True
+    assert got == want
+
+
 def test_candidate_prefix_small_is_row_identical(spark):
     """``small=True`` must return exactly the two-phase prefix's rows
     (it only skips the pre-pruning passes)."""
