@@ -36,6 +36,26 @@ class CheckpointCatalog:
         self._manifest_path = os.path.join(root, "manifest.json")
         self.manifest = self._load()
         self._bytes_cache: dict = {}
+        # lazy-DataFrame handle cache keyed by the exact rel-path set.
+        # Staged dirs are immutable once written, so a given path tuple
+        # always denotes identical content — reusing the handle skips
+        # the per-call spark.read.parquet cost (driver-side file
+        # listing + footer schema inference), which the engine
+        # otherwise pays ~10× per round over a dir set that grows
+        # every round. Pure metadata caching: every action over the
+        # handle still scans the parquet files. New deltas change the
+        # path set, so a new round's reads get a fresh entry; the map
+        # is bounded by (tables × rounds between compactions).
+        self._df_cache: dict[tuple[str, ...], DataFrame] = {}
+
+    def _read_paths(self, rels) -> DataFrame:
+        key = tuple(rels)
+        df = self._df_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in rels])
+            self._df_cache[key] = df
+        return df
 
     # -- manifest ---------------------------------------------------------
 
@@ -107,8 +127,7 @@ class CheckpointCatalog:
         rels = self.manifest["tables"].get(table)
         if not rels:
             return None
-        paths = [os.path.join(self.root, r) for r in rels]
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(rels)
 
     def read_split(self, table: str) -> tuple[DataFrame | None, DataFrame | None]:
         """``(compacted snapshot, post-compaction deltas)`` — readers
@@ -125,8 +144,7 @@ class CheckpointCatalog:
         def _read(rs):
             if not rs:
                 return None
-            return self.spark.read.parquet(
-                *[os.path.join(self.root, r) for r in rs])
+            return self._read_paths(rs)
 
         return _read(comp), _read(rest)
 
@@ -161,8 +179,7 @@ class CheckpointCatalog:
             keep.append(r)
         if not keep:
             return None
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, r) for r in keep])
+        return self._read_paths(keep)
 
     @property
     def meta(self) -> dict:
@@ -249,6 +266,10 @@ class CheckpointCatalog:
         self._commit_manifest()
         for r in old:
             shutil.rmtree(os.path.join(self.root, r), ignore_errors=True)
+        # compaction is the epoch boundary for read handles: superseded
+        # dirs are gone, and dropping every cached handle here bounds
+        # the cache to (tables × rounds per compaction cycle)
+        self._df_cache.clear()
 
     def blob_dir(self, name: str) -> str:
         path = os.path.join(self.root, "blobs", name)
