@@ -437,6 +437,14 @@ _BLOOM_PROBE_ADAPTIVE = True
 # (the measuring arm of scripts/bench_statskip_ab.py).
 _ESCALATION_STATS_SKIP = True
 
+# Round-6 (second pass): on the skip path, kick an async noop
+# materialization of the admission frame so the selection pipeline
+# executes on the executors while the driver plans the popped
+# checkpoint + early _execute_round frames (guide §2.6). False = plan
+# first, materialize in the first eager job
+# (scripts/bench_preselkick_ab.py measures the difference).
+_PRESEL_KICK = True
+
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, catalog_root: str,
@@ -485,6 +493,9 @@ class CrawlEngine:
         self._bloom_bc = None
         self._bloom_table: DataFrame | None = None
         self._eager_pool = None
+        # async pre-selection materialization futures (the skip-path
+        # cand noop kick in _select_pops), joined at the round barrier
+        self._presel_futs: list = []
         self._initial_url_seen = initial_url_seen or []
         self._restore_or_init()
 
@@ -948,6 +959,10 @@ class CrawlEngine:
                     return False
                 progressed = self._execute_round(popped, now)
         finally:
+            # drop any un-joined pre-selection future (aborted round):
+            # the noop is side-effect-free and must not leak into the
+            # next round's barrier join
+            self._presel_futs = []
             for df in self._round_tmp:
                 df.unpersist()
             self._round_tmp = []
@@ -1255,6 +1270,24 @@ class CrawlEngine:
                     and self.sites[s].frontier_rows < prefix_k
                     for s in budgets)):
                 stats = under = None
+                # with no stats collect, nothing runs on the executors
+                # while the driver plans the popped checkpoint and the
+                # early _execute_round frames (§2.6 overlap): kick an
+                # async noop materialization of the persisted admission
+                # frame — the exact compute every downstream job needs
+                # first — so the selection pipeline (windows, Bloom
+                # probe, robots UDF) executes concurrently with that
+                # planning. Joined at the round barrier; a failure
+                # re-raises identically in the real consumers.
+                if _PRESEL_KICK and self.cfg.eager_stage:
+                    if self._eager_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._eager_pool = ThreadPoolExecutor(max_workers=16)
+                    cand_f = cand
+                    self._presel_futs.append(self._eager_pool.submit(
+                        lambda: cand_f.write.format("noop")
+                        .mode("overwrite").save()))
             else:
                 stats = {r["site"]: (r["n_adm"], r["n_rank"]) for r in
                          prefix.groupBy("site").agg(F.max("_rank").alias("n_rank"))
@@ -1339,6 +1372,9 @@ class CrawlEngine:
                     staged.setdefault(t, []).append(fut.result())
                 for fut in kick_futs:
                     fut.result()
+                for fut in self._presel_futs:
+                    fut.result()
+                self._presel_futs = []
                 return staged
             # one thread per staged table: each write is a small job
             # over cached parents, so the flush wall is the slowest
